@@ -1,0 +1,475 @@
+"""FSST — Fast Static Symbol Table string compression, vectorized in numpy.
+
+From-scratch implementation of the scheme described in the public paper
+"FSST: Fast Random Access String Compression" (Boncz, Neumann, Freitag,
+VLDB 2020): a static table of up to 255 symbols of 1..8 bytes; each input
+byte run is greedily replaced by the longest matching symbol's 1-byte
+code; bytes with no match are escaped as (0xFF, literal).  Decode is a
+code→symbol table lookup, i.e. random-access friendly per string.
+
+What is novel here relative to the paper's scalar C++ is the *execution
+strategy*, chosen for the Spark/Arrow context (kernels run inside
+vectorized pandas/Arrow UDFs — per-row Python is banned):
+
+* longest-match search is data-parallel and longest-first: length-1/2
+  symbols via direct 256/65536-entry lookup tables; lengths 3..8 via a
+  2-byte-prefix prefilter plus ``np.searchsorted`` probes over the
+  (shrinking) still-unmatched candidate set;
+* the inherently sequential greedy parse (next position depends on the
+  matched length) is recovered with a *per-string wavefront*: all
+  strings advance one token per wave with active-set compaction —
+  O(total tokens) work since symbols never cross string boundaries —
+  with a pointer-doubling fallback for pathologically long strings;
+* output assembly (codes, escapes, per-string offsets) is pure
+  scatter/cumsum.
+
+Symbols never cross string boundaries, so every encoded string is
+independently decodable and per-string offsets are exact.
+
+Role in the engine: the auto-selected codec for path/content-like string
+columns (north rule: "FSST symbol-table compression for path/content
+strings") — the slot where the reference simply lets Parquet snappy
+compress whole pages (/root/reference/src/lib.rs:48-49).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from vcf2parquet_spark.kernels.codecs import str_buffers, str_from_buffers
+from vcf2parquet_spark.kernels.util import for_pack, for_unpack, get_section, pack_sections
+
+ESCAPE = 255          # code 255 = escape marker; codes 0..254 are symbols
+MAX_SYMS = 255
+MAX_LEN = 8
+BUILD_ITERS = 5       # paper uses a small fixed number of refinement rounds
+SAMPLE_TARGET = 1 << 16
+CHUNK_BYTES = 1 << 22  # encode/decode in ~4 MiB chunks to bound memory
+WAVE_CAP = 1 << 14     # wavefront rounds before pointer-doubling fallback
+
+_MASKS = np.array([0] + [(1 << (8 * L)) - 1 for L in range(1, 9)], dtype=np.uint64)
+
+
+class SymbolTable:
+    """Static symbol table: symbols[i] has code i; derived lookup indexes."""
+
+    __slots__ = ("lens", "flat", "off", "byte_codes", "code2", "lut",
+                 "pref2", "n_syms")
+
+    def __init__(self, symbols: list[bytes]):
+        assert len(symbols) <= MAX_SYMS
+        self.n_syms = len(symbols)
+        self.lens = np.fromiter((len(s) for s in symbols), dtype=np.int64,
+                                count=len(symbols))
+        self.flat = np.frombuffer(b"".join(symbols), dtype=np.uint8)
+        self.off = np.zeros(len(symbols) + 1, dtype=np.int64)
+        np.cumsum(self.lens, out=self.off[1:])
+        # length-1: byte value -> code; length-2: u16 (LE) -> code
+        self.byte_codes = np.full(256, ESCAPE, dtype=np.uint8)
+        self.code2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
+        # lengths 3..8: sorted key arrays + 2-byte-prefix prefilter bitmaps
+        self.lut: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.pref2: dict[int, np.ndarray] = {}
+        by_len: dict[int, list[tuple[int, int]]] = {}
+        for code, s in enumerate(symbols):
+            if len(s) == 1:
+                self.byte_codes[s[0]] = code
+            elif len(s) == 2:
+                self.code2[int.from_bytes(s, "little")] = code
+            else:
+                by_len.setdefault(len(s), []).append(
+                    (int.from_bytes(s, "little"), code))
+        for L, pairs in by_len.items():
+            pairs.sort()
+            keys = np.array([k for k, _ in pairs], dtype=np.uint64)
+            codes = np.array([c for _, c in pairs], dtype=np.uint8)
+            self.lut[L] = (keys, codes)
+            pref = np.zeros(1 << 16, dtype=bool)
+            pref[(keys & np.uint64(0xFFFF)).astype(np.uint32)] = True
+            self.pref2[L] = pref
+
+    def symbol(self, code: int) -> bytes:
+        return self.flat[self.off[code] : self.off[code + 1]].tobytes()
+
+
+def _window_keys(data: np.ndarray) -> np.ndarray:
+    """key8[i] = little-endian uint64 of data[i:i+8], zero padded at end."""
+    n = len(data)
+    padded = np.concatenate([data, np.zeros(MAX_LEN, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(padded, MAX_LEN)[:n]
+    return np.ascontiguousarray(win).view(np.uint64).ravel()
+
+
+def _string_ends(offsets: np.ndarray) -> np.ndarray:
+    """Per byte position: offset of the end of its containing string."""
+    return np.repeat(offsets[1:], np.diff(offsets))
+
+
+def _match_at(bytes_at: np.ndarray, k8: np.ndarray, rem: np.ndarray,
+              table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+    """Longest symbol match at a set of positions (the wave frontier).
+
+    bytes_at = data[pos], k8 = key8[pos], rem = bytes left in string.
+    Returns (step, code) arrays over the frontier; escape -> step 1.
+    """
+    f = len(k8)
+    step = np.ones(f, dtype=np.int64)
+    code = table.byte_codes[bytes_at].copy()      # len-1 match or ESCAPE
+    if f == 0:
+        return step, code
+    u16 = (k8 & np.uint64(0xFFFF)).astype(np.uint32)
+    unmatched = np.ones(f, dtype=bool)
+    for L in range(MAX_LEN, 2, -1):               # 8..3 longest-first
+        ent = table.lut.get(L)
+        if ent is None:
+            continue
+        cand = np.flatnonzero(unmatched & table.pref2[L][u16] & (rem >= L))
+        if len(cand) == 0:
+            continue
+        keys, codes = ent
+        kL = k8[cand] & _MASKS[L]
+        p = np.searchsorted(keys, kL)
+        pc = np.minimum(p, len(keys) - 1)
+        hit = keys[pc] == kL
+        hc = cand[hit]
+        step[hc] = L
+        code[hc] = codes[pc[hit]]
+        unmatched[hc] = False
+    # length 2: direct 64K lookup, no search
+    c2 = table.code2[u16]
+    hit2 = unmatched & (c2 != ESCAPE) & (rem >= 2)
+    step[hit2] = 2
+    code[hit2] = c2[hit2]
+    return step, code
+
+
+def _parse(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
+           key8: np.ndarray | None = None
+           ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Fused greedy parse: per-string wavefront where each wave matches
+    only at the currently-visited positions (O(6 × tokens), not O(6 × n)).
+
+    Returns (vis: token positions grouped by string ascending,
+    counts: tokens per string, codes, steps aligned with vis).
+    """
+    n_str = len(offsets) - 1
+    counts = np.zeros(n_str, dtype=np.int64)
+    if n_str == 0 or len(data) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, counts, z.astype(np.uint8), z
+    if key8 is None:
+        key8 = _window_keys(data)
+    ends_s = offsets[1:].astype(np.int64)
+    pos = offsets[:-1].astype(np.int64)
+    sid = np.arange(n_str, dtype=np.int64)
+    alive = pos < ends_s
+    pos, sid = pos[alive], sid[alive]
+    waves: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+    w = 0
+    while len(pos) and w < WAVE_CAP:
+        rem = ends_s[sid] - pos
+        step, code = _match_at(data[pos], key8[pos], rem, table)
+        waves.append((pos, sid, code, step))
+        counts[sid] += 1
+        pos = pos + step
+        alive = pos < ends_s[sid]
+        pos, sid = pos[alive], sid[alive]
+        w += 1
+    # pointer-doubling fallback for strings still active after WAVE_CAP:
+    # match their full remaining slice once, then walk it.
+    extras: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+    for p0, s0 in zip(pos.tolist(), sid.tolist()):
+        e0 = int(ends_s[s0])
+        sl = slice(p0, e0)
+        rem_sl = np.arange(e0 - p0, 0, -1, dtype=np.int64)
+        st, co = _match_at(data[sl], key8[sl], rem_sl, table)
+        ext = _visit_slice(st)
+        counts[s0] += len(ext)
+        extras.append((s0, p0 + ext, co[ext], st[ext]))
+    out_start = np.zeros(n_str + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_start[1:])
+    m = int(out_start[-1])
+    vis = np.empty(m, dtype=np.int64)
+    codes = np.empty(m, dtype=np.uint8)
+    steps = np.empty(m, dtype=np.int64)
+    for w, (p, s, c, st) in enumerate(waves):
+        dst = out_start[s] + w
+        vis[dst] = p
+        codes[dst] = c
+        steps[dst] = st
+    for s0, p_ext, c_ext, st_ext in extras:
+        dst = slice(out_start[s0] + WAVE_CAP, out_start[s0 + 1])
+        vis[dst] = p_ext
+        codes[dst] = c_ext
+        steps[dst] = st_ext
+    return vis, counts, codes, steps
+
+
+def _visit_slice(step: np.ndarray) -> np.ndarray:
+    """Greedy-walk positions within one slice via pointer doubling —
+    O(log n) rounds of vectorized gathers.  Fallback for huge strings."""
+    n = len(step)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    jump = np.empty(n + 1, dtype=np.int64)
+    np.minimum(np.arange(n, dtype=np.int64) + step, n, out=jump[:n])
+    jump[n] = n
+    visited = np.array([0], dtype=np.int64)
+    while visited[-1] < n:
+        nxt = jump[visited]
+        visited = np.concatenate([visited, nxt])
+        if visited[-1] >= n:
+            break
+        jump = jump[jump]
+    return visited[visited < n]
+
+
+def _walk(step: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Token start positions of the greedy parse of every string.
+
+    Per-string wavefront: all strings advance one token per wave;
+    finished strings are compacted out, so total work is O(total tokens).
+    Returns (vis: ascending token positions grouped by string,
+    counts: tokens per string).
+    """
+    n_str = len(offsets) - 1
+    counts = np.zeros(n_str, dtype=np.int64)
+    if n_str == 0 or len(step) == 0:
+        return np.zeros(0, dtype=np.int64), counts
+    ends_s = offsets[1:].astype(np.int64)
+    active_pos = offsets[:-1].astype(np.int64)
+    active_sid = np.arange(n_str, dtype=np.int64)
+    alive = active_pos < ends_s
+    active_pos, active_sid = active_pos[alive], active_sid[alive]
+    waves: list[tuple[np.ndarray, np.ndarray]] = []
+    w = 0
+    while len(active_pos) and w < WAVE_CAP:
+        waves.append((active_pos, active_sid))
+        counts[active_sid] += 1
+        nxt = active_pos + step[active_pos]
+        alive = nxt < ends_s[active_sid]
+        active_pos, active_sid = nxt[alive], active_sid[alive]
+        w += 1
+    # pointer-doubling fallback for strings still active after WAVE_CAP
+    extras: list[tuple[int, np.ndarray]] = []
+    for p0, sid in zip(active_pos.tolist(), active_sid.tolist()):
+        ext = p0 + _visit_slice(step[p0 : ends_s[sid]])
+        counts[sid] += len(ext)
+        extras.append((sid, ext))
+    out_start = np.zeros(n_str + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_start[1:])
+    vis = np.empty(int(out_start[-1]), dtype=np.int64)
+    for w, (p, s) in enumerate(waves):
+        vis[out_start[s] + w] = p
+    for sid, ext in extras:
+        vis[out_start[sid] + WAVE_CAP : out_start[sid + 1]] = ext
+    return vis, counts
+
+
+def _encode_chunk(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
+                  key8: np.ndarray | None = None
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Encode one concatenated-string chunk. Returns (enc bytes, enc offsets)."""
+    n = len(data)
+    n_str = len(offsets) - 1
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(n_str + 1, dtype=np.int64)
+    vis, counts, vcode, _steps = _parse(data, offsets, table, key8=key8)
+    esc = vcode == ESCAPE
+    emit = np.where(esc, 2, 1).astype(np.int64)
+    out_pos = np.zeros(len(vis) + 1, dtype=np.int64)
+    np.cumsum(emit, out=out_pos[1:])
+    out = np.empty(int(out_pos[-1]), dtype=np.uint8)
+    out[out_pos[:-1]] = vcode
+    out[out_pos[:-1][esc] + 1] = data[vis[esc]]
+    tok_bounds = np.zeros(n_str + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_bounds[1:])
+    enc_offsets = out_pos[tok_bounds]
+    return out, enc_offsets
+
+
+def _decode_chunk(enc: np.ndarray, enc_offsets: np.ndarray, table: SymbolTable
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one chunk back to (data bytes, offsets)."""
+    m = len(enc)
+    n_str = len(enc_offsets) - 1
+    if m == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(n_str + 1, dtype=np.int64)
+    step_in = np.where(enc == ESCAPE, 2, 1).astype(np.int64)
+    vis, counts = _walk(step_in, enc_offsets)
+    codes = enc[vis].astype(np.int64)
+    esc = codes == ESCAPE
+    lens_ext = np.ones(256, dtype=np.int64)
+    lens_ext[: table.n_syms] = table.lens
+    sym_lens = np.where(esc, 1, lens_ext[codes])
+    out_pos = np.zeros(len(vis) + 1, dtype=np.int64)
+    np.cumsum(sym_lens, out=out_pos[1:])
+    out = np.empty(int(out_pos[-1]), dtype=np.uint8)
+    # escapes: copy the literal byte
+    out[out_pos[:-1][esc]] = enc[vis[esc] + 1]
+    # symbols: grouped-arange gather from the flat symbol buffer
+    ns = np.flatnonzero(~esc)
+    if len(ns):
+        idx = codes[ns]
+        L = table.lens[idx]
+        dst0 = out_pos[:-1][ns]
+        src0 = table.off[idx]
+        total = int(L.sum())
+        cum = np.cumsum(L) - L
+        r = np.arange(total, dtype=np.int64) - np.repeat(cum, L)
+        out[np.repeat(dst0, L) + r] = table.flat[np.repeat(src0, L) + r]
+    tok_bounds = np.zeros(n_str + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_bounds[1:])
+    offsets = out_pos[tok_bounds]
+    return out, offsets
+
+
+# ------------------------------------------------------------ table build
+
+
+def _sample(data: np.ndarray, offsets: np.ndarray,
+            target: int = SAMPLE_TARGET) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic sample: evenly spaced strings totalling ~target bytes."""
+    n_str = len(offsets) - 1
+    total = int(offsets[-1])
+    if total <= target or n_str <= 1:
+        return data, offsets
+    stride = max(1, int(np.ceil(total / target)))  # take every stride-th string
+    idx = np.arange(0, n_str, stride, dtype=np.int64)
+    lens = np.diff(offsets)[idx]
+    new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    total_s = int(new_off[-1])
+    if total_s == 0:
+        return np.zeros(0, np.uint8), np.zeros(2, np.int64)
+    src0 = offsets[:-1][idx]
+    r = np.arange(total_s, dtype=np.int64) - np.repeat(new_off[:-1], lens)
+    return data[np.repeat(src0, lens) + r], new_off
+
+
+def build_table(data: np.ndarray, offsets: np.ndarray,
+                iters: int = BUILD_ITERS) -> SymbolTable:
+    """Greedy iterative table construction on a sample (paper §4.4 style).
+
+    Each round: encode the sample with the current table; count the gain
+    (freq × length) of every seen symbol and of every concatenation of
+    adjacent symbols (≤8 bytes, same string); keep the top-255.
+    Deterministic: ties broken by (length, key).
+    """
+    sdata, soffs = _sample(data, offsets)
+    n = len(sdata)
+    if n == 0:
+        return SymbolTable([])
+    key8 = _window_keys(sdata)
+    table = SymbolTable([])
+    rec_t = np.dtype([("k", np.uint64), ("l", np.uint8)])
+    for _ in range(iters):
+        vis, counts, _codes, tok_len = _parse(sdata, soffs, table, key8=key8)
+        if len(vis) == 0:
+            break
+        sid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        tok_key = key8[vis] & _MASKS[tok_len]
+        cands_k = [tok_key]
+        cands_l = [tok_len]
+        # candidate pairs: adjacent tokens, same string, combined <= 8
+        if len(vis) > 1:
+            same = sid[:-1] == sid[1:]
+            plen = tok_len[:-1] + tok_len[1:]
+            ok = same & (plen <= MAX_LEN)
+            if ok.any():
+                pk = key8[vis[:-1][ok]] & _MASKS[plen[ok]]
+                cands_k.append(pk)
+                cands_l.append(plen[ok])
+        rec = np.empty(sum(len(c) for c in cands_k), dtype=rec_t)
+        rec["k"] = np.concatenate(cands_k)
+        rec["l"] = np.concatenate(cands_l).astype(np.uint8)
+        uniq, counts = np.unique(rec, return_counts=True)
+        gain = counts * uniq["l"].astype(np.int64)
+        # top MAX_SYMS by gain desc, tie-break (len, key) asc — deterministic
+        order = np.lexsort((uniq["k"], uniq["l"], -gain))[:MAX_SYMS]
+        chosen = uniq[order]
+        symbols = [
+            int(k).to_bytes(8, "little")[:l]
+            for k, l in zip(chosen["k"].tolist(), chosen["l"].tolist())
+        ]
+        table = SymbolTable(symbols)
+    return table
+
+
+# -------------------------------------------------------------- codec API
+
+
+def _chunk_bounds(offsets: np.ndarray, chunk_bytes: int) -> list[tuple[int, int]]:
+    """Split [0, n_str) into string-aligned chunks of ~chunk_bytes."""
+    n_str = len(offsets) - 1
+    bounds: list[tuple[int, int]] = []
+    lo = 0
+    while lo < n_str:
+        target = int(offsets[lo]) + chunk_bytes
+        hi = int(np.searchsorted(offsets, target, side="left"))
+        hi = max(hi, lo + 1)
+        hi = min(hi, n_str)
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds or [(0, 0)]
+
+
+def enc_fsst(arr: pa.Array) -> tuple[bytes, dict]:
+    data, offsets = str_buffers(arr)
+    table = build_table(data, offsets)
+    enc_parts: list[np.ndarray] = []
+    enc_offsets = np.zeros(len(offsets), dtype=np.int64)
+    base = 0
+    for lo, hi in _chunk_bounds(offsets, CHUNK_BYTES):
+        cdata = data[offsets[lo] : offsets[hi]]
+        coffs = offsets[lo : hi + 1] - offsets[lo]
+        enc, eoffs = _encode_chunk(cdata, coffs, table)
+        enc_parts.append(enc)
+        enc_offsets[lo : hi + 1] = eoffs + base
+        base += len(enc)
+    enc_all = np.concatenate(enc_parts) if enc_parts else np.zeros(0, np.uint8)
+    po, mo = for_pack(np.diff(enc_offsets).astype(np.int64))
+    payload, sections = pack_sections({
+        "tlens": table.lens.astype(np.uint8).tobytes(),
+        "tflat": table.flat.tobytes(),
+        "offs": po,
+        "data": enc_all.tobytes(),
+    })
+    return payload, {
+        "n": int(len(offsets) - 1),
+        "n_syms": table.n_syms,
+        "offs": mo,
+        "sections": sections,
+    }
+
+
+def _table_from_payload(payload: bytes, meta: dict) -> SymbolTable:
+    tlens = np.frombuffer(get_section(payload, meta["sections"], "tlens"), np.uint8)
+    tflat = get_section(payload, meta["sections"], "tflat")
+    syms: list[bytes] = []
+    off = 0
+    for L in tlens.tolist():
+        syms.append(tflat[off : off + L])
+        off += L
+    return SymbolTable(syms)
+
+
+def dec_fsst(payload: bytes, meta: dict) -> pa.Array:
+    table = _table_from_payload(payload, meta)
+    enc_lens = for_unpack(get_section(payload, meta["sections"], "offs"), meta["offs"])
+    enc_offsets = np.zeros(meta["n"] + 1, dtype=np.int64)
+    np.cumsum(enc_lens, out=enc_offsets[1:])
+    enc = np.frombuffer(get_section(payload, meta["sections"], "data"), dtype=np.uint8)
+    out_parts: list[np.ndarray] = []
+    out_offsets = np.zeros(meta["n"] + 1, dtype=np.int64)
+    base = 0
+    for lo, hi in _chunk_bounds(enc_offsets, CHUNK_BYTES):
+        cenc = enc[enc_offsets[lo] : enc_offsets[hi]]
+        coffs = enc_offsets[lo : hi + 1] - enc_offsets[lo]
+        out, ooffs = _decode_chunk(cenc, coffs, table)
+        out_parts.append(out)
+        out_offsets[lo : hi + 1] = ooffs + base
+        base += len(out)
+    out_all = np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint8)
+    return str_from_buffers(out_all, out_offsets)
