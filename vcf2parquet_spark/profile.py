@@ -1,0 +1,140 @@
+"""Column statistics profiling — the input to codec auto-selection.
+
+Two layers (SURVEY.md §2 "added operators" table):
+
+* :func:`profile_arrow` — pure pyarrow/numpy stats for one partition's
+  column, computed *inside* the encode UDF on executors (vectorized, no
+  per-row Python).  These drive the per-partition codec choice and are
+  recorded in the partition manifest.
+* :func:`profile_df` — cluster-wide profile via built-in Catalyst
+  aggregates (``approx_count_distinct``, min/max/avg-length): cheap,
+  one shuffle-free scan + partial aggregation; used for plan reporting
+  and exposed as a driver-contract query.
+
+Stats per column: n, n_null, n_distinct, distinct_ratio, max/avg run
+length, min/max (ints), avg/max byte length and a byte-entropy estimate
+(strings, sampled) — exactly the profile inputs the north rule names
+(cardinality, run-length, value range, string entropy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ENTROPY_SAMPLE_BYTES = 1 << 16
+
+
+def _run_stats(codes: np.ndarray) -> tuple[int, float]:
+    """(max_run, avg_run) over an int code array."""
+    n = len(codes)
+    if n == 0:
+        return 0, 0.0
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=change[1:])
+    n_runs = int(change.sum())
+    starts = np.flatnonzero(change)
+    lens = np.diff(np.append(starts, n))
+    return int(lens.max()), float(n / n_runs)
+
+
+def _byte_entropy(data: np.ndarray) -> float:
+    """Shannon entropy (bits/byte) of a byte sample."""
+    if len(data) == 0:
+        return 0.0
+    sample = data[: ENTROPY_SAMPLE_BYTES]
+    counts = np.bincount(sample, minlength=256).astype(np.float64)
+    p = counts[counts > 0] / len(sample)
+    return float(-(p * np.log2(p)).sum())
+
+
+def profile_arrow(arr: pa.Array, name: str = "") -> dict:
+    """Profile one column chunk (null-aware). JSON-able output."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    n_null = arr.null_count
+    stats: dict = {"column": name, "n": n, "n_nulls": int(n_null)}
+    values = arr.drop_null() if n_null else arr
+
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        stats["type"] = "string"
+        values = values.cast(pa.string())
+        denc = pc.dictionary_encode(values)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        n_distinct = len(denc.dictionary)
+        lens = pc.utf8_length(values)
+        raw_bytes = pc.binary_length(values)
+        max_run, avg_run = _run_stats(codes)
+        from vcf2parquet_spark.kernels.codecs import str_buffers
+        data, _off = str_buffers(values) if len(values) else (np.zeros(0, np.uint8), None)
+        stats.update({
+            "n_distinct": int(n_distinct),
+            "distinct_ratio": float(n_distinct / max(1, len(values))),
+            "max_run": max_run,
+            "avg_run": avg_run,
+            "avg_len": float(pc.mean(lens).as_py() or 0.0),
+            "max_len": int(pc.max(lens).as_py() or 0),
+            "raw_bytes": int(pc.sum(raw_bytes).as_py() or 0),
+            "entropy": _byte_entropy(data),
+        })
+    elif pa.types.is_integer(arr.type):
+        stats["type"] = "int64"
+        v = values.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n_distinct = len(np.unique(v)) if len(v) else 0
+        max_run, avg_run = _run_stats(v)
+        stats.update({
+            "n_distinct": int(n_distinct),
+            "distinct_ratio": float(n_distinct / max(1, len(v))),
+            "max_run": max_run,
+            "avg_run": avg_run,
+            "min": int(v.min()) if len(v) else 0,
+            "max": int(v.max()) if len(v) else 0,
+            "raw_bytes": int(8 * len(v)),
+        })
+    else:
+        raise TypeError(f"unsupported column type: {arr.type}")
+    return stats
+
+
+def profile_table(tbl: pa.Table) -> dict[str, dict]:
+    return {name: profile_arrow(tbl.column(name), name)
+            for name in tbl.column_names}
+
+
+def profile_df(df, columns: list[str] | None = None):
+    """Cluster-wide profile via built-in aggregates (one scan, map-side
+    partials; no UDF).  Returns a small DataFrame: one row per column."""
+    from pyspark.sql import functions as F
+
+    cols = columns or [f.name for f in df.schema.fields
+                       if f.dataType.typeName() in ("string", "long", "integer")]
+    parts = []
+    for c in cols:
+        typ = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)[c]
+        if typ == "string":
+            parts.append(df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.col(c)).alias("n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.approx_count_distinct(c).alias("approx_distinct"),
+                F.avg(F.length(c)).alias("avg_len"),
+                F.max(F.length(c)).alias("max_len"),
+                F.sum(F.octet_length(c)).alias("raw_bytes"),
+            ))
+        else:
+            parts.append(df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.col(c)).alias("n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.approx_count_distinct(c).alias("approx_distinct"),
+                F.avg(F.col(c)).alias("avg_len"),
+                F.max(F.col(c)).alias("max_len"),
+                F.lit(None).cast("long").alias("raw_bytes"),
+            ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

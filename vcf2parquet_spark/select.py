@@ -1,0 +1,74 @@
+"""Codec auto-selection: profile stats → per-column codec choice.
+
+Deterministic rule table (the analogue of the reference's schema-mapping
+rules, /root/reference/src/schema.rs:58-130 — there: VCF Type×Number →
+Arrow field; here: column stats → codec), with documented thresholds:
+
+int64:
+  all-equal            → for      (frame-of-reference, width 0 = free)
+  avg_run >= RLE_RUN   → rle
+  min >= 0 & same width→ bitpack
+  else                 → for
+
+string:
+  avg_run >= RLE_RUN                 → rle   (sorted commit runs)
+  distinct_ratio <= DICT_RATIO
+    or n_distinct <= DICT_MAX        → dict  (repo / lang)
+  entropy >= HIGH_ENTROPY bits/byte  → plain+zlib (incompressible by
+                                       symbol tables; zlib residual —
+                                       documented fallback, SURVEY §7)
+  else                               → fsst+zlib (path / content: FSST
+                                       symbol table + zlib residual)
+
+``choose_codecs`` applies the rules per column; ``overrides`` pins a
+codec per column (the analogue of the reference's user-chosen ``-c``
+codec, /root/reference/src/cli.rs:119-136 — there file-level, here
+per-column).
+"""
+
+from __future__ import annotations
+
+from vcf2parquet_spark.kernels.util import bit_width
+
+RLE_RUN = 3.0        # mean run length that makes RLE worthwhile
+DICT_RATIO = 0.05    # distinct/n below this -> dictionary
+DICT_MAX = 256       # small absolute dictionaries are always worth it
+HIGH_ENTROPY = 7.3   # bits/byte; above -> symbol tables won't help
+
+
+def choose_codec(stats: dict) -> str:
+    """Pick a codec spec for one column from its profile stats."""
+    if stats["type"] == "int64":
+        n_vals = stats["n"] - stats["n_nulls"]
+        if n_vals == 0 or stats["n_distinct"] <= 1:
+            return "for"
+        if stats["avg_run"] >= RLE_RUN:
+            return "rle"
+        if stats["min"] >= 0 and bit_width(stats["max"]) <= bit_width(
+                stats["max"] - stats["min"]):
+            return "bitpack"
+        return "for"
+    if stats["type"] == "string":
+        n_vals = stats["n"] - stats["n_nulls"]
+        if n_vals == 0:
+            return "plain"
+        if stats["avg_run"] >= RLE_RUN:
+            return "rle"
+        if (stats["distinct_ratio"] <= DICT_RATIO
+                or stats["n_distinct"] <= DICT_MAX):
+            return "dict"
+        if stats["entropy"] >= HIGH_ENTROPY:
+            return "plain+zlib"
+        return "fsst+zlib"
+    raise TypeError(f"unsupported type: {stats['type']}")
+
+
+def choose_codecs(profiles: dict[str, dict],
+                  overrides: dict[str, str] | None = None) -> dict[str, str]:
+    out = {}
+    for col, stats in profiles.items():
+        if overrides and col in overrides:
+            out[col] = overrides[col]
+        else:
+            out[col] = choose_codec(stats)
+    return out

@@ -1,0 +1,116 @@
+"""Encoded-table storage layout + per-partition checkpoint manifests.
+
+Iceberg-style layout implemented directly over the filesystem (the
+sandbox has no iceberg-spark-runtime jar; on a real cluster the writes
+in ``encode.py`` swap to ``df.writeTo(...).append()`` one-liners):
+
+    <output>/
+      _table.json                   # table metadata + encode config + summary
+      manifests/part-<id>.json      # per-partition codec manifest (commit marker)
+      data/part-<id>.parquet        # encoded blocks for that partition
+
+The per-partition manifest is the checkpoint unit: it is written
+*after* the data file, both via tmp-file + atomic rename, so a partition
+is either fully committed or absent — re-running ``encode`` skips every
+committed partition (exact resume, north rule).  This generalizes the
+reference's one-writer commit (`/root/reference/src/lib.rs:55-64`:
+ArrowWriter close = the only commit point) to a distributed setting.
+
+Blocks table schema (the analogue of the reference's Parquet row groups,
+one row here = one column × one row-batch):
+
+    part_id int32, block_idx int32, column string, codec string,
+    n_rows int64, raw_bytes int64, enc_bytes int64,
+    meta string (JSON), data binary
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+
+BLOCKS_SCHEMA = pa.schema([
+    ("part_id", pa.int32()),
+    ("block_idx", pa.int32()),
+    ("column", pa.string()),
+    ("codec", pa.string()),
+    ("n_rows", pa.int64()),
+    ("raw_bytes", pa.int64()),
+    ("enc_bytes", pa.int64()),
+    ("meta", pa.string()),
+    ("data", pa.binary()),
+])
+
+MANIFEST_DIR = "manifests"
+DATA_DIR = "data"
+TABLE_FILE = "_table.json"
+
+
+def part_name(part_id: int) -> str:
+    return f"part-{part_id:05d}"
+
+
+def data_path(output: str, part_id: int) -> str:
+    return os.path.join(output, DATA_DIR, part_name(part_id) + ".parquet")
+
+
+def manifest_path(output: str, part_id: int) -> str:
+    return os.path.join(output, MANIFEST_DIR, part_name(part_id) + ".json")
+
+
+def init_layout(output: str) -> None:
+    os.makedirs(os.path.join(output, MANIFEST_DIR), exist_ok=True)
+    os.makedirs(os.path.join(output, DATA_DIR), exist_ok=True)
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    """tmp + fsync + rename: the partition commit primitive."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def write_blocks_file(path: str, table: pa.Table) -> None:
+    """Write the blocks parquet for one partition atomically."""
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp, compression="none")  # payloads are pre-compressed
+    os.rename(tmp, path)
+
+
+def commit_manifest(output: str, part_id: int, manifest: dict) -> None:
+    atomic_write_bytes(
+        manifest_path(output, part_id),
+        json.dumps(manifest, sort_keys=True, indent=1).encode())
+
+
+def committed_parts(output: str) -> dict[int, dict]:
+    """part_id -> manifest for every committed partition (the checkpoint)."""
+    mdir = os.path.join(output, MANIFEST_DIR)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("part-") and name.endswith(".json")):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        out[int(m["part_id"])] = m
+    return out
+
+
+def write_table_meta(output: str, meta: dict) -> None:
+    atomic_write_bytes(os.path.join(output, TABLE_FILE),
+                       json.dumps(meta, sort_keys=True, indent=1).encode())
+
+
+def read_table_meta(output: str) -> dict:
+    with open(os.path.join(output, TABLE_FILE)) as f:
+        return json.load(f)
