@@ -45,7 +45,9 @@ MAX_SYMS = 255
 MAX_LEN = 8
 BUILD_ITERS = 5       # paper uses a small fixed number of refinement rounds
 SAMPLE_TARGET = 1 << 16
-CHUNK_BYTES = 1 << 22  # encode/decode in ~4 MiB chunks to bound memory
+CHUNK_BYTES = 1 << 26  # encode/decode in ~64 MiB chunks: bounds memory
+                       # (key8 = 8x chunk) while keeping the wavefront
+                       # full — bigger chunks = fewer, fuller wave calls
 WAVE_CAP = 1 << 14     # wavefront rounds before pointer-doubling fallback
 
 _MASKS = np.array([0] + [(1 << (8 * L)) - 1 for L in range(1, 9)], dtype=np.uint64)
@@ -328,6 +330,21 @@ def _decode_chunk(enc: np.ndarray, enc_offsets: np.ndarray, table: SymbolTable
 # ------------------------------------------------------------ table build
 
 
+def _gather_strings(data: np.ndarray, offsets: np.ndarray, idx: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Gather strings[idx] into a fresh (data, offsets) pair — grouped-
+    arange, fully vectorized."""
+    lens = np.diff(offsets)
+    sel = lens[idx]
+    new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(sel, out=new_off[1:])
+    total = int(new_off[-1])
+    if total == 0:
+        return np.zeros(0, np.uint8), new_off
+    r = np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], sel)
+    return data[np.repeat(offsets[:-1][idx], sel) + r], new_off
+
+
 def _sample(data: np.ndarray, offsets: np.ndarray,
             target: int = SAMPLE_TARGET) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic sample: evenly spaced strings totalling ~target bytes."""
@@ -337,15 +354,7 @@ def _sample(data: np.ndarray, offsets: np.ndarray,
         return data, offsets
     stride = max(1, int(np.ceil(total / target)))  # take every stride-th string
     idx = np.arange(0, n_str, stride, dtype=np.int64)
-    lens = np.diff(offsets)[idx]
-    new_off = np.zeros(len(idx) + 1, dtype=np.int64)
-    np.cumsum(lens, out=new_off[1:])
-    total_s = int(new_off[-1])
-    if total_s == 0:
-        return np.zeros(0, np.uint8), np.zeros(2, np.int64)
-    src0 = offsets[:-1][idx]
-    r = np.arange(total_s, dtype=np.int64) - np.repeat(new_off[:-1], lens)
-    return data[np.repeat(src0, lens) + r], new_off
+    return _gather_strings(data, offsets, idx)
 
 
 def build_table(data: np.ndarray, offsets: np.ndarray,
@@ -418,17 +427,27 @@ def _chunk_bounds(offsets: np.ndarray, chunk_bytes: int) -> list[tuple[int, int]
 def enc_fsst(arr: pa.Array) -> tuple[bytes, dict]:
     data, offsets = str_buffers(arr)
     table = build_table(data, offsets)
+    n_str = len(offsets) - 1
+    # process strings ordered by length: chunk-mates finish the wavefront
+    # together, so no wave runs with a nearly-empty frontier (long-tail fix)
+    order = np.argsort(np.diff(offsets), kind="stable")
+    sdata, soffs = _gather_strings(data, offsets, order)
     enc_parts: list[np.ndarray] = []
-    enc_offsets = np.zeros(len(offsets), dtype=np.int64)
+    enc_offsets_sorted = np.zeros(n_str + 1, dtype=np.int64)
     base = 0
-    for lo, hi in _chunk_bounds(offsets, CHUNK_BYTES):
-        cdata = data[offsets[lo] : offsets[hi]]
-        coffs = offsets[lo : hi + 1] - offsets[lo]
+    for lo, hi in _chunk_bounds(soffs, CHUNK_BYTES):
+        cdata = sdata[soffs[lo] : soffs[hi]]
+        coffs = soffs[lo : hi + 1] - soffs[lo]
         enc, eoffs = _encode_chunk(cdata, coffs, table)
         enc_parts.append(enc)
-        enc_offsets[lo : hi + 1] = eoffs + base
+        enc_offsets_sorted[lo : hi + 1] = eoffs + base
         base += len(enc)
-    enc_all = np.concatenate(enc_parts) if enc_parts else np.zeros(0, np.uint8)
+    enc_sorted = (np.concatenate(enc_parts) if enc_parts
+                  else np.zeros(0, np.uint8))
+    # reassemble in original row order
+    rank = np.empty(n_str, dtype=np.int64)
+    rank[order] = np.arange(n_str, dtype=np.int64)
+    enc_all, enc_offsets = _gather_strings(enc_sorted, enc_offsets_sorted, rank)
     po, mo = for_pack(np.diff(enc_offsets).astype(np.int64))
     payload, sections = pack_sections({
         "tlens": table.lens.astype(np.uint8).tobytes(),
@@ -461,15 +480,23 @@ def dec_fsst(payload: bytes, meta: dict) -> pa.Array:
     enc_offsets = np.zeros(meta["n"] + 1, dtype=np.int64)
     np.cumsum(enc_lens, out=enc_offsets[1:])
     enc = np.frombuffer(get_section(payload, meta["sections"], "data"), dtype=np.uint8)
+    n_str = meta["n"]
+    # same length-sorted wavefront trick as encode
+    order = np.argsort(np.diff(enc_offsets), kind="stable")
+    senc, soffs = _gather_strings(enc, enc_offsets, order)
     out_parts: list[np.ndarray] = []
-    out_offsets = np.zeros(meta["n"] + 1, dtype=np.int64)
+    out_offsets_sorted = np.zeros(n_str + 1, dtype=np.int64)
     base = 0
-    for lo, hi in _chunk_bounds(enc_offsets, CHUNK_BYTES):
-        cenc = enc[enc_offsets[lo] : enc_offsets[hi]]
-        coffs = enc_offsets[lo : hi + 1] - enc_offsets[lo]
+    for lo, hi in _chunk_bounds(soffs, CHUNK_BYTES):
+        cenc = senc[soffs[lo] : soffs[hi]]
+        coffs = soffs[lo : hi + 1] - soffs[lo]
         out, ooffs = _decode_chunk(cenc, coffs, table)
         out_parts.append(out)
-        out_offsets[lo : hi + 1] = ooffs + base
+        out_offsets_sorted[lo : hi + 1] = ooffs + base
         base += len(out)
-    out_all = np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint8)
+    out_sorted = (np.concatenate(out_parts) if out_parts
+                  else np.zeros(0, np.uint8))
+    rank = np.empty(n_str, dtype=np.int64)
+    rank[order] = np.arange(n_str, dtype=np.int64)
+    out_all, out_offsets = _gather_strings(out_sorted, out_offsets_sorted, rank)
     return str_from_buffers(out_all, out_offsets)
