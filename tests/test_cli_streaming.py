@@ -1,0 +1,98 @@
+"""CLI parity + streaming-encode tests (reference functional tests
+analogue: /root/reference/tests/functional.rs — run the real entry
+point, compare outputs; split == convert content-wise)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from vcf2parquet_spark import table as tbl
+from vcf2parquet_spark.corpus import synth_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli") / "corpus.parquet")
+    synth_corpus(spark, 3000, seed=42).write.parquet(p)
+    return p
+
+
+def test_streaming_encode(spark, corpus_parquet, tmp_path):
+    from pyspark.sql import functions as F
+    from vcf2parquet_spark.decode import verify
+    from vcf2parquet_spark.streaming import encode_stream
+
+    out = str(tmp_path / "stream_blocks")
+    q = encode_stream(spark, corpus_parquet, out,
+                      checkpoint=str(tmp_path / "ckpt"),
+                      target_rows=1000, max_files_per_trigger=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    parts = tbl.committed_parts(out)
+    assert parts, "no partitions committed by the stream"
+    df = spark.read.parquet(corpus_parquet)
+    res = verify(spark, df, out)
+    assert res["ok"], res
+
+
+def test_cli_convert_verify_decode(spark, corpus_parquet, tmp_path, capsys):
+    # drive the argparse surface in-process (same session reused via
+    # getOrCreate; cli calls spark.stop() so re-create after)
+    from vcf2parquet_spark import cli
+
+    out = str(tmp_path / "blocks")
+    rc = cli.main(["convert", "-i", corpus_parquet, "-o", out,
+                   "-b", "1000", "--target-rows", "1500"])
+    assert rc == 0
+    job = json.loads(capsys.readouterr().out)
+    assert job["n_committed"] >= 1
+
+    rc = cli.main(["verify", "-i", corpus_parquet, "-o", out])
+    res = json.loads(capsys.readouterr().out)
+    assert rc == 0 and res["ok"]
+
+    dest = str(tmp_path / "roundtrip.parquet")
+    rc = cli.main(["decode", "-o", out, "--to", dest])
+    assert rc == 0
+    assert glob.glob(f"{dest}/*.parquet")
+
+
+def test_cli_split_matches_convert(spark, corpus_parquet, tmp_path, capsys):
+    """split (file-per-batch) decodes to the same multiset as convert —
+    mirror of the reference's split-vs-convert functional test
+    (/root/reference/tests/functional.rs:161-196)."""
+    from vcf2parquet_spark import cli
+    from vcf2parquet_spark.decode import decode
+    from vcf2parquet_spark.session import get_spark
+
+    out_c = str(tmp_path / "c")
+    out_s = str(tmp_path / "s")
+    assert cli.main(["convert", "-i", corpus_parquet, "-o", out_c]) == 0
+    capsys.readouterr()
+    assert cli.main(["split", "-i", corpus_parquet, "-o", out_s,
+                     "-b", "500"]) == 0
+    capsys.readouterr()
+    s = get_spark(cores=4)
+    a = decode(s, out_c)
+    b = decode(s, out_s)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # split produced more, smaller partitions
+    assert len(tbl.committed_parts(out_s)) > len(tbl.committed_parts(out_c))
+
+
+def test_cli_codec_override(spark, corpus_parquet, tmp_path, capsys):
+    from vcf2parquet_spark import cli
+
+    out = str(tmp_path / "ov")
+    rc = cli.main(["convert", "-i", corpus_parquet, "-o", out,
+                   "-c", "content=plain+zlib", "-c", "lang=plain"])
+    assert rc == 0
+    m = next(iter(tbl.committed_parts(out).values()))
+    assert m["codecs"]["content"] == "plain+zlib"
+    assert m["codecs"]["lang"] == "plain"

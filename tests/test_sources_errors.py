@@ -1,0 +1,60 @@
+"""Source formats (op 1 parity: compressed record-oriented inputs) and
+the engine error taxonomy (op 22 parity)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from vcf2parquet_spark.corpus import synth_corpus
+from vcf2parquet_spark.errors import CodecError, EngineError, SchemaError, StorageError
+from vcf2parquet_spark.kernels import decode_column, encode_column
+from vcf2parquet_spark.sources import read_corpus, write_corpus
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    df = synth_corpus(spark, 500, seed=42, partitions=2)
+    df.cache().count()
+    return df
+
+
+@pytest.mark.parametrize("fmt,codec", [
+    ("parquet", None),
+    ("jsonl", "gzip"),      # niffler-gzip analogue: .json.gz scan
+    ("csv", "bzip2"),       # splittable compressed text scan
+])
+def test_source_roundtrip(spark, small_corpus, tmp_path, fmt, codec):
+    p = str(tmp_path / f"c_{fmt}")
+    write_corpus(small_corpus, p, fmt=fmt, compression=codec)
+    back = read_corpus(spark, p, fmt=fmt)
+    assert back.columns == ["repo", "path", "commit", "lang", "content"]
+    assert back.count() == small_corpus.count()
+
+
+def test_source_bad_format(spark, tmp_path):
+    with pytest.raises(SchemaError):
+        read_corpus(spark, str(tmp_path), fmt="avro")
+
+
+def test_source_missing_columns(spark, tmp_path):
+    p = str(tmp_path / "bad.parquet")
+    spark.range(5).write.parquet(p)
+    with pytest.raises(SchemaError, match="missing columns"):
+        read_corpus(spark, p, fmt="parquet")
+
+
+def test_codec_error_on_corrupt_payload():
+    arr = pa.array(["hello", "world", "hello"])
+    payload, meta = encode_column(arr, "fsst")
+    with pytest.raises(CodecError):
+        decode_column(payload[: len(payload) // 2], meta)
+    assert issubclass(CodecError, EngineError)
+
+
+def test_storage_error_is_filenotfound(spark):
+    from vcf2parquet_spark.decode import decode
+    with pytest.raises(StorageError):
+        decode(spark, "/tmp/definitely/not/here")
+    with pytest.raises(FileNotFoundError):
+        decode(spark, "/tmp/definitely/not/here")

@@ -1,0 +1,111 @@
+"""Command-line surface — parity with the reference CLI.
+
+Reference (/root/reference/src/cli.rs:44-105):
+
+    vcf2parquet -i IN [-b BATCH] [-c CODEC] [-r BUF] (convert -o OUT | split -f TPL)
+
+Ours (``python -m vcf2parquet_spark ...``):
+
+    convert -i CORPUS_PARQUET -o OUT [-b BATCH] [-c COL=CODEC ...]
+    split   -i CORPUS_PARQUET -o OUT [-b BATCH]     # one blocks file per
+                                                    # batch (target_rows=batch,
+                                                    # the reference's
+                                                    # file-per-RecordBatch mode,
+                                                    # lib.rs:105-118)
+    decode  -o OUT --to PARQUET_DIR
+    verify  -i CORPUS_PARQUET -o OUT
+    corpus  --rows N --to PARQUET_DIR [--seed 42]   # deterministic test corpus
+
+Defaults mirror the reference where meaningful: batch 100_000
+(cli.rs:114-116); ``-c`` generalizes the file-level codec enum
+(cli.rs:119-136) to per-column overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_overrides(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs or []:
+        col, _, codec = p.partition("=")
+        if not codec:
+            raise SystemExit(f"bad -c override {p!r}; expected COL=CODEC")
+        out[col] = codec
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="vcf2parquet_spark")
+    ap.add_argument("--cores", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p):
+        p.add_argument("-i", "--input", required=True,
+                       help="corpus parquet path (or any 5-col table)")
+        p.add_argument("-o", "--output", required=True)
+        p.add_argument("-b", "--batch-size", type=int, default=100_000)
+        p.add_argument("-c", "--codec", action="append", metavar="COL=CODEC",
+                       help="per-column codec override")
+        p.add_argument("--target-rows", type=int, default=250_000)
+        p.add_argument("--no-resume", action="store_true")
+
+    add_common(sub.add_parser("convert", help="encode to blocks + manifest"))
+    add_common(sub.add_parser("split", help="encode, one blocks file per batch"))
+
+    pd = sub.add_parser("decode", help="decode blocks back to parquet")
+    pd.add_argument("-o", "--output", required=True, help="blocks table dir")
+    pd.add_argument("--to", required=True, help="destination parquet dir")
+    pd.add_argument("--include-derived", action="store_true")
+
+    pv = sub.add_parser("verify", help="sha256 round-trip check")
+    pv.add_argument("-i", "--input", required=True)
+    pv.add_argument("-o", "--output", required=True)
+
+    pc_ = sub.add_parser("corpus", help="generate deterministic test corpus")
+    pc_.add_argument("--rows", type=int, required=True)
+    pc_.add_argument("--to", required=True)
+    pc_.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    from vcf2parquet_spark.session import get_spark
+    spark = get_spark(cores=args.cores)
+    try:
+        if args.cmd in ("convert", "split"):
+            from vcf2parquet_spark.encode import encode
+            df = spark.read.parquet(args.input)
+            target = (args.batch_size if args.cmd == "split"
+                      else args.target_rows)
+            job = encode(spark, df, args.output,
+                         batch_size=args.batch_size,
+                         target_rows=target,
+                         codec_overrides=_parse_overrides(args.codec),
+                         resume=not args.no_resume)
+            print(json.dumps(job, indent=1))
+        elif args.cmd == "decode":
+            from vcf2parquet_spark.decode import decode
+            decode(spark, args.output,
+                   include_derived=args.include_derived) \
+                .write.mode("overwrite").parquet(args.to)
+            print(json.dumps({"decoded_to": args.to}))
+        elif args.cmd == "verify":
+            from vcf2parquet_spark.decode import verify
+            res = verify(spark, spark.read.parquet(args.input), args.output)
+            print(json.dumps(res))
+            return 0 if res["ok"] else 1
+        elif args.cmd == "corpus":
+            from vcf2parquet_spark.corpus import synth_corpus
+            synth_corpus(spark, args.rows, seed=args.seed) \
+                .write.mode("overwrite").parquet(args.to)
+            print(json.dumps({"rows": args.rows, "to": args.to}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,13 +37,15 @@ def decode(spark: SparkSession, output: str,
     """Reconstruct the encoded table as a DataFrame (lazy)."""
     import os
 
+    from vcf2parquet_spark.errors import StorageError
+
     manifests = tbl.committed_parts(output)
     if not manifests:
-        raise FileNotFoundError(f"no committed partitions under {output}")
+        raise StorageError(f"no committed partitions under {output}")
     missing = [pid for pid in manifests
                if not os.path.exists(tbl.data_path(output, pid))]
     if missing:
-        raise FileNotFoundError(
+        raise StorageError(
             f"manifest/data mismatch: committed partitions {missing} have no "
             f"data file under {output}/{tbl.DATA_DIR} — table is corrupt")
     meta = tbl.read_table_meta(output)

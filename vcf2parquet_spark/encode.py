@@ -73,22 +73,24 @@ class EncodeOptions:
     resume: bool = True
     derived_columns: bool = True
     sort_columns: tuple = ("repo", "path", "commit", "content")
+    part_id_offset: int = 0   # namespace for incremental/streaming appends
 
 
-def plan_partitions(counts: list[tuple[str, int]], target_rows: int
-                    ) -> tuple[list[dict], int]:
+def plan_partitions(counts: list[tuple[str, int]], target_rows: int,
+                    offset: int = 0) -> tuple[list[dict], int]:
     """Deterministic work-unit plan from (repo, row_count) pairs.
 
-    Returns (plan rows [{repo, base_part_id, fanout}], n_parts).
+    Returns (plan rows [{repo, base_part_id, fanout}], next free id).
     Hot repos (count > target) are salted across ``fanout`` units;
-    small repos are packed first-fit into shared units.
+    small repos are packed first-fit into shared units.  ``offset``
+    namespaces the ids (used by incremental/streaming appends).
     """
     hot = sorted([(r, c) for r, c in counts if c > target_rows],
                  key=lambda x: (-x[1], x[0]))
     small = sorted([(r, c) for r, c in counts if c <= target_rows],
                    key=lambda x: (-x[1], x[0]))
     plan: list[dict] = []
-    next_id = 0
+    next_id = offset
     for repo, c in hot:
         fanout = math.ceil(c / target_rows)
         plan.append({"repo": repo, "base_part_id": next_id, "fanout": fanout})
@@ -230,7 +232,8 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     # 1. partition plan from the tiny repo-count aggregate
     counts = [(r["repo"], r["cnt"]) for r in
               df.groupBy("repo").agg(F.count("*").alias("cnt")).collect()]
-    plan, n_parts = plan_partitions(counts, opts.target_rows)
+    plan, n_parts = plan_partitions(counts, opts.target_rows,
+                                    offset=opts.part_id_offset)
     plan_df = spark.createDataFrame(
         [(p["repo"], p["base_part_id"], p["fanout"]) for p in plan],
         "repo string, base_part_id int, fanout int")

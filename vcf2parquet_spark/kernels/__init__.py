@@ -97,7 +97,28 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
 
 
 def decode_column(payload: bytes, meta: dict) -> pa.Array:
-    """Inverse of :func:`encode_column` — bit-identical round trip."""
+    """Inverse of :func:`encode_column` — bit-identical round trip.
+
+    Raises CodecError on corrupt payloads (engine error taxonomy,
+    mirroring the reference's Arrow/Parquet error wrapping,
+    /root/reference/src/error.rs:16-23).
+    """
+    try:
+        return _decode_column(payload, meta)
+    except (IndexError, ValueError, KeyError) as e:
+        from vcf2parquet_spark.errors import CodecError
+        raise CodecError(
+            f"corrupt or mismatched block payload "
+            f"(codec={meta.get('codec')}, n={meta.get('n')}): {e}") from e
+    except Exception as e:  # zlib.error etc.
+        import zlib
+        if isinstance(e, zlib.error):
+            from vcf2parquet_spark.errors import CodecError
+            raise CodecError(f"zlib stage failed: {e}") from e
+        raise
+
+
+def _decode_column(payload: bytes, meta: dict) -> pa.Array:
     base, cascade = _split_spec(meta["codec"])
     body = get_section(payload, meta["sections"], "body")
     if cascade:

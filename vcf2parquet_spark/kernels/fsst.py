@@ -345,16 +345,30 @@ def _gather_strings(data: np.ndarray, offsets: np.ndarray, idx: np.ndarray
     return data[np.repeat(offsets[:-1][idx], sel) + r], new_off
 
 
+SAMPLE_MAXSTR = 512  # symbol stats saturate fast; long tails only add waves
+
+
 def _sample(data: np.ndarray, offsets: np.ndarray,
             target: int = SAMPLE_TARGET) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic sample: evenly spaced strings totalling ~target bytes."""
+    """Deterministic sample: evenly spaced strings totalling ~target
+    bytes, each truncated to SAMPLE_MAXSTR bytes (wave count during the
+    table-build parse is bounded by the longest sampled string)."""
     n_str = len(offsets) - 1
+    lens = np.diff(offsets)
     total = int(offsets[-1])
-    if total <= target or n_str <= 1:
-        return data, offsets
-    stride = max(1, int(np.ceil(total / target)))  # take every stride-th string
-    idx = np.arange(0, n_str, stride, dtype=np.int64)
-    return _gather_strings(data, offsets, idx)
+    if total > target and n_str > 1:
+        stride = max(1, int(np.ceil(total / target)))
+        idx = np.arange(0, n_str, stride, dtype=np.int64)
+    else:
+        idx = np.arange(n_str, dtype=np.int64)
+    sel = np.minimum(lens[idx], SAMPLE_MAXSTR)
+    new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(sel, out=new_off[1:])
+    total_s = int(new_off[-1])
+    if total_s == 0:
+        return np.zeros(0, np.uint8), new_off
+    r = np.arange(total_s, dtype=np.int64) - np.repeat(new_off[:-1], sel)
+    return data[np.repeat(offsets[:-1][idx], sel) + r], new_off
 
 
 def build_table(data: np.ndarray, offsets: np.ndarray,
@@ -372,7 +386,6 @@ def build_table(data: np.ndarray, offsets: np.ndarray,
         return SymbolTable([])
     key8 = _window_keys(sdata)
     table = SymbolTable([])
-    rec_t = np.dtype([("k", np.uint64), ("l", np.uint8)])
     for _ in range(iters):
         vis, counts, _codes, tok_len = _parse(sdata, soffs, table, key8=key8)
         if len(vis) == 0:
@@ -390,17 +403,25 @@ def build_table(data: np.ndarray, offsets: np.ndarray,
                 pk = key8[vis[:-1][ok]] & _MASKS[plen[ok]]
                 cands_k.append(pk)
                 cands_l.append(plen[ok])
-        rec = np.empty(sum(len(c) for c in cands_k), dtype=rec_t)
-        rec["k"] = np.concatenate(cands_k)
-        rec["l"] = np.concatenate(cands_l).astype(np.uint8)
-        uniq, counts = np.unique(rec, return_counts=True)
-        gain = counts * uniq["l"].astype(np.int64)
+        ck = np.concatenate(cands_k)
+        cl = np.concatenate(cands_l).astype(np.int64)
+        # unique (key, len) + counts via lexsort (faster than structured
+        # np.unique) — deterministic
+        srt = np.lexsort((cl, ck))
+        ks, ls = ck[srt], cl[srt]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            np.logical_or(ks[1:] != ks[:-1], ls[1:] != ls[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(ks)))
+        uk, ul = ks[starts], ls[starts]
+        gain = counts * ul
         # top MAX_SYMS by gain desc, tie-break (len, key) asc — deterministic
-        order = np.lexsort((uniq["k"], uniq["l"], -gain))[:MAX_SYMS]
-        chosen = uniq[order]
+        order = np.lexsort((uk, ul, -gain))[:MAX_SYMS]
         symbols = [
             int(k).to_bytes(8, "little")[:l]
-            for k, l in zip(chosen["k"].tolist(), chosen["l"].tolist())
+            for k, l in zip(uk[order].tolist(), ul[order].tolist())
         ]
         table = SymbolTable(symbols)
     return table

@@ -1,0 +1,58 @@
+"""Corpus sources: read the (repo, path, commit, lang, content) table
+from multiple formats, with transparent decompression.
+
+Parity with the reference's source scan (SURVEY.md §2 op 1): the
+reference auto-detects gzip/bzip2/xz around a record-oriented text file
+(/root/reference/src/bin/vcf2parquet.rs:24-27, via niffler).  Spark's
+text/json/csv readers decompress .gz/.bz2 natively per file extension —
+the scan stays distributed and splittable (bz2) or file-parallel (gz),
+so no custom byte-level code is needed; schema is applied explicitly
+(never inferred) so the scan prunes columns and pushes filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from vcf2parquet_spark.errors import SchemaError
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+CORPUS_DDL = ("repo string, path string, commit string, "
+              "lang string, content string")
+
+
+def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet"
+                ) -> DataFrame:
+    """Load a corpus table from parquet / jsonl(.gz|.bz2) / csv(.gz|.bz2).
+
+    Returns exactly the 5 input_hint columns, validated.
+    """
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt in ("jsonl", "json"):
+        df = spark.read.schema(CORPUS_DDL).json(path)
+    elif fmt == "csv":
+        df = (spark.read.schema(CORPUS_DDL)
+              .option("header", True).option("multiLine", True)
+              .option("escape", '"').csv(path))
+    else:
+        raise SchemaError(f"unsupported corpus format: {fmt}")
+    missing = [c for c in CORPUS_COLUMNS if c not in df.columns]
+    if missing:
+        raise SchemaError(f"corpus at {path} missing columns {missing}")
+    return df.select(*CORPUS_COLUMNS)
+
+
+def write_corpus(df: DataFrame, path: str, fmt: str = "parquet",
+                 compression: str | None = None) -> None:
+    """Write a corpus table (test/bench helper; gz/bz2 via compression)."""
+    w = df.write.mode("overwrite")
+    if fmt == "parquet":
+        w.option("compression", compression or "snappy").parquet(path)
+    elif fmt in ("jsonl", "json"):
+        w.option("compression", compression or "none").json(path)
+    elif fmt == "csv":
+        (w.option("header", True).option("escape", '"')
+         .option("compression", compression or "none").csv(path))
+    else:
+        raise SchemaError(f"unsupported corpus format: {fmt}")

@@ -1,0 +1,3 @@
+from vcf2parquet_spark.streaming.encode_stream import encode_stream
+
+__all__ = ["encode_stream"]
