@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the plans we designed are the plans Catalyst
+actually produces (SURVEY.md §4.2) — broadcast where intended, filters
+and projections pushed into the parquet scan, no stray shuffles."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    from vcf2parquet_spark.corpus import synth_corpus
+    p = str(tmp_path_factory.mktemp("plan") / "corpus.parquet")
+    synth_corpus(spark, 2000, seed=42).write.parquet(p)
+    return p
+
+
+def test_encode_plan_broadcasts_partition_plan(spark, corpus_path):
+    """The work-unit assignment join must be broadcast (tiny plan side),
+    never a sort-merge join shuffling the corpus."""
+    from vcf2parquet_spark.encode import plan_partitions
+    df = spark.read.parquet(corpus_path)
+    counts = [(r["repo"], r["cnt"]) for r in
+              df.groupBy("repo").agg(F.count("*").alias("cnt")).collect()]
+    plan, _ = plan_partitions(counts, 1000)
+    plan_df = spark.createDataFrame(
+        [(p["repo"], p["base_part_id"], p["fanout"]) for p in plan],
+        "repo string, base_part_id int, fanout int")
+    joined = df.join(F.broadcast(plan_df), "repo")
+    s = _plan(joined)
+    assert "BroadcastHashJoin" in s
+    assert "SortMergeJoin" not in s
+
+
+def test_decode_scan_pushes_partition_filter(spark, corpus_path, tmp_path):
+    """Committed-partition and column filters must reach the blocks
+    parquet scan (partition pruning analogue)."""
+    from vcf2parquet_spark.encode import encode
+    out = str(tmp_path / "blocks")
+    encode(spark, spark.read.parquet(corpus_path), out, target_rows=500)
+    blocks = (spark.read.parquet(f"{out}/data")
+              .filter(F.col("part_id").isin([0, 1]))
+              .filter(F.col("column").isin(["repo", "content"]))
+              .select("part_id", "column", "meta"))
+    s = _plan(blocks)
+    assert "PushedFilters" in s and "In(part_id" in s, s
+    # column pruning: data blob not read
+    read_schema = [ln for ln in s.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "data" not in read_schema[0], read_schema
+
+
+def test_corpus_scan_prunes_columns(spark, corpus_path):
+    df = spark.read.parquet(corpus_path).select("repo", "lang")
+    s = _plan(df)
+    line = [ln for ln in s.splitlines() if "ReadSchema" in ln][0]
+    assert "content" not in line, line
+
+
+def test_profile_df_is_single_scan_partial_agg(spark, corpus_path):
+    """profile_df must be scan → partial agg → exchange of tiny partials
+    (map-side combine), not a row shuffle."""
+    from vcf2parquet_spark.profile import profile_df
+    df = spark.read.parquet(corpus_path)
+    prof = profile_df(df, columns=["repo"])
+    s = _plan(prof, "simple")
+    assert "HashAggregate" in s or "SortAggregate" in s or "ObjectHashAggregate" in s
+    # aggregation happens before the exchange (partial agg present)
+    assert "partial" in s.lower()
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from vcf2parquet_spark.functions.similarity import cosine_topk
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    plan = _plan(cosine_topk(emb, q, k=2))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_single_shuffle(spark):
+    from vcf2parquet_spark.functions.dedup import exact_dedup
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = _plan(exact_dedup(docs), "simple")
+    # one exchange for the window over md5(text); no join at all
+    assert s.count("Exchange") <= 2
+    assert "Join" not in s

@@ -49,6 +49,8 @@ CHUNK_BYTES = 1 << 26  # encode/decode in ~64 MiB chunks: bounds memory
                        # (key8 = 8x chunk) while keeping the wavefront
                        # full — bigger chunks = fewer, fuller wave calls
 WAVE_CAP = 1 << 14     # wavefront rounds before pointer-doubling fallback
+PRECOMPUTE_KEYS = True  # 8n-byte key table (CPU-lean) vs per-frontier
+                        # gathers (memory-lean); flip for tiny-RAM workers
 
 _MASKS = np.array([0] + [(1 << (8 * L)) - 1 for L in range(1, 9)], dtype=np.uint64)
 
@@ -101,6 +103,19 @@ def _window_keys(data: np.ndarray) -> np.ndarray:
     padded = np.concatenate([data, np.zeros(MAX_LEN, dtype=np.uint8)])
     win = np.lib.stride_tricks.sliding_window_view(padded, MAX_LEN)[:n]
     return np.ascontiguousarray(win).view(np.uint64).ravel()
+
+
+def _pad(data: np.ndarray) -> np.ndarray:
+    return np.concatenate([data, np.zeros(MAX_LEN, dtype=np.uint8)])
+
+
+def _keys_at(padded: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """LE uint64 window keys at selected positions only — 8 gathers of
+    |pos| beats materializing an 8×n key table (memory = fault tax)."""
+    k = padded[pos].astype(np.uint64)
+    for j in range(1, MAX_LEN):
+        k |= padded[pos + j].astype(np.uint64) << np.uint64(8 * j)
+    return k
 
 
 def _string_ends(offsets: np.ndarray) -> np.ndarray:
@@ -160,8 +175,9 @@ def _parse(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
     if n_str == 0 or len(data) == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, counts, z.astype(np.uint8), z
-    if key8 is None:
+    if key8 is None and PRECOMPUTE_KEYS:
         key8 = _window_keys(data)
+    padded = _pad(data) if key8 is None else None
     ends_s = offsets[1:].astype(np.int64)
     pos = offsets[:-1].astype(np.int64)
     sid = np.arange(n_str, dtype=np.int64)
@@ -171,7 +187,8 @@ def _parse(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
     w = 0
     while len(pos) and w < WAVE_CAP:
         rem = ends_s[sid] - pos
-        step, code = _match_at(data[pos], key8[pos], rem, table)
+        k8 = key8[pos] if key8 is not None else _keys_at(padded, pos)
+        step, code = _match_at(data[pos], k8, rem, table)
         waves.append((pos, sid, code, step))
         counts[sid] += 1
         pos = pos + step
@@ -184,8 +201,9 @@ def _parse(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
     for p0, s0 in zip(pos.tolist(), sid.tolist()):
         e0 = int(ends_s[s0])
         sl = slice(p0, e0)
+        k8_sl = key8[sl] if key8 is not None else _window_keys(data[sl])
         rem_sl = np.arange(e0 - p0, 0, -1, dtype=np.int64)
-        st, co = _match_at(data[sl], key8[sl], rem_sl, table)
+        st, co = _match_at(data[sl], k8_sl, rem_sl, table)
         ext = _visit_slice(st)
         counts[s0] += len(ext)
         extras.append((s0, p0 + ext, co[ext], st[ext]))
