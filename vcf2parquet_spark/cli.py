@@ -72,8 +72,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
+    from pyspark.sql import SparkSession
+
     from vcf2parquet_spark.session import get_spark
-    spark = get_spark(cores=args.cores)
+    pre_existing = SparkSession.getActiveSession()
+    spark = pre_existing or get_spark(cores=args.cores)
     try:
         if args.cmd in ("convert", "split"):
             from vcf2parquet_spark.encode import encode
@@ -103,7 +106,8 @@ def main(argv: list[str] | None = None) -> int:
                 .write.mode("overwrite").parquet(args.to)
             print(json.dumps({"rows": args.rows, "to": args.to}))
     finally:
-        spark.stop()
+        if pre_existing is None:  # don't stop a session we didn't create
+            spark.stop()
     return 0
 
 

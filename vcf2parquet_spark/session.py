@@ -20,9 +20,20 @@ def get_spark(cores: int | None = None, app_name: str = "vcf2parquet_spark",
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
+    # Arrow buffers in Python workers come from glibc (retained via the
+    # kernels' mallopt tuning) instead of jemalloc (which purges dirty
+    # pages back to the OS — expensive to re-fault on slow-page-fault
+    # hosts).  Must be set before any worker imports pyarrow; workers
+    # inherit the driver env in local mode.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    mem = os.environ.get("SPARK_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        # pin the heap: committed pages stay committed (no G1 uncommit →
+        # no re-faulting of heap regions between jobs)
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{mem} -XX:-ShrinkHeapInSteps")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -30,7 +41,7 @@ def get_spark(cores: int | None = None, app_name: str = "vcf2parquet_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
