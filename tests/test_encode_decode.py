@@ -79,7 +79,7 @@ def test_codec_choices_match_north_star(encoded):
     assert m["codecs"]["repo"] in ("rle", "for", "dict")  # constant column
     assert m["codecs"]["commit"] == "rle"
     assert m["codecs"]["content"].startswith(("fsst", "plain+zlib"))
-    assert m["codecs"]["size_bytes"] in ("bitpack", "for", "rle")
+    assert m["codecs"]["size_bytes"] in ("bitpack", "for", "rle", "delta")
 
 
 def test_resume_skips_committed(spark, corpus, encoded):

@@ -190,3 +190,36 @@ def test_fsst_chunking_matches_unchunked(monkeypatch):
     p2, m2 = F.enc_fsst(arr)
     assert F.dec_fsst(p1, m1).equals(arr)
     assert F.dec_fsst(p2, m2).equals(arr)
+
+
+# ------------------------------------------------------------------ delta
+
+@pytest.mark.parametrize("codec", ["delta"])
+def test_delta_roundtrip(codec):
+    cases = [
+        np.arange(1000, dtype=np.int64) * 7 + 3,           # sorted
+        np.array([], dtype=np.int64),
+        np.array([42], dtype=np.int64),
+        np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max]),
+        RNG.integers(-1000, 1000, 500).astype(np.int64),   # unsorted
+    ]
+    for vals in cases:
+        arr = pa.array(vals, type=pa.int64())
+        p, m = encode_column(arr, codec)
+        assert decode_column(p, m).equals(arr)
+
+
+def test_delta_beats_for_on_sorted():
+    vals = np.cumsum(RNG.integers(0, 4, 10_000)).astype(np.int64) + 10**12
+    arr = pa.array(vals, type=pa.int64())
+    p_delta, _ = encode_column(arr, "delta")
+    p_for, _ = encode_column(arr, "for")
+    assert len(p_delta) < len(p_for) / 3
+
+
+def test_selection_prefers_delta_for_sorted():
+    from vcf2parquet_spark.profile import profile_arrow
+    from vcf2parquet_spark.select import choose_codec
+    vals = np.cumsum(RNG.integers(1, 5, 5000)).astype(np.int64)
+    s = profile_arrow(pa.array(vals, type=pa.int64()), "ts")
+    assert choose_codec(s) == "delta"

@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="per-column codec override")
         p.add_argument("--target-rows", type=int, default=250_000)
         p.add_argument("--no-resume", action="store_true")
+        p.add_argument("--parquet-version", choices=["1.0", "2.4", "2.6"],
+                       default="2.6",
+                       help="blocks container page version (ref: "
+                            "--parquet-version v1/v2)")
 
     add_common(sub.add_parser("convert", help="encode to blocks + manifest"))
     add_common(sub.add_parser("split", help="encode, one blocks file per batch"))
@@ -87,7 +91,8 @@ def main(argv: list[str] | None = None) -> int:
                          batch_size=args.batch_size,
                          target_rows=target,
                          codec_overrides=_parse_overrides(args.codec),
-                         resume=not args.no_resume)
+                         resume=not args.no_resume,
+                         parquet_version=args.parquet_version)
             print(json.dumps(job, indent=1))
         elif args.cmd == "decode":
             from vcf2parquet_spark.decode import decode

@@ -74,6 +74,7 @@ class EncodeOptions:
     derived_columns: bool = True
     sort_columns: tuple = ("repo", "path", "commit", "content")
     part_id_offset: int = 0   # namespace for incremental/streaming appends
+    parquet_version: str = "2.6"  # blocks container pages (ref: cli.rs:139-145)
 
 
 def plan_partitions(counts: list[tuple[str, int]], target_rows: int,
@@ -187,7 +188,8 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
         {k: pa.array(v, type=tbl.BLOCKS_SCHEMA.field(k).type)
          for k, v in rows.items()},
         schema=tbl.BLOCKS_SCHEMA)
-    tbl.write_blocks_file(tbl.data_path(output, part_id), blocks)
+    tbl.write_blocks_file(tbl.data_path(output, part_id), blocks,
+                          parquet_version=opts.parquet_version)
 
     seconds = time.time() - t0
     manifest = {

@@ -36,6 +36,7 @@ _INT_CODECS = {
     ),
     "bitpack": (C.enc_bitpack, C.dec_bitpack),
     "for": (C.enc_for, C.dec_for),
+    "delta": (C.enc_delta, C.dec_delta),
     "rle": (C.enc_rle_int, C.dec_rle_int),
 }
 

@@ -63,6 +63,33 @@ def dec_for(payload: bytes, meta: dict) -> np.ndarray:
     return for_unpack(payload, meta)
 
 
+def enc_delta(vals: np.ndarray) -> tuple[bytes, dict]:
+    """Delta + FOR: store first value, FOR-bit-pack consecutive diffs.
+
+    Near-zero bits/value for sorted or clustered ints (timestamps,
+    offsets, dict codes of sorted columns)."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    if len(v) == 0:
+        return b"", {"n": 0, "first": 0,
+                     "deltas": {"ref": 0, "width": 0, "n": 0}}
+    deltas = np.diff(v.view(np.uint64)).view(np.int64)  # wrapping-safe
+    p, m = for_pack(deltas)
+    return p, {"n": int(len(v)), "first": int(v[0]), "deltas": m}
+
+
+def dec_delta(payload: bytes, meta: dict) -> np.ndarray:
+    if meta["n"] == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.empty(meta["n"], dtype=np.uint64)
+    out[0] = np.int64(meta["first"]).astype(np.uint64)
+    if meta["n"] > 1:
+        deltas = for_unpack(payload, meta["deltas"]).view(np.uint64)
+        with np.errstate(over="ignore"):
+            np.cumsum(deltas, out=out[1:])
+            out[1:] += out[0]
+    return out.view(np.int64)
+
+
 def enc_rle_int(vals: np.ndarray) -> tuple[bytes, dict]:
     """Run-length encode ints: FOR-packed run values + run lengths."""
     v = np.ascontiguousarray(vals, dtype=np.int64)

@@ -85,6 +85,13 @@ def profile_arrow(arr: pa.Array, name: str = "") -> dict:
         v = values.cast(pa.int64()).to_numpy(zero_copy_only=False)
         n_distinct = len(np.unique(v)) if len(v) else 0
         max_run, avg_run = _run_stats(v)
+        if len(v) > 1:
+            # width of FOR over consecutive deltas (sortedness signal)
+            with np.errstate(over="ignore"):
+                d = np.diff(v.view(np.uint64)).view(np.int64)
+            delta_width = int(int(d.max()) - int(d.min())).bit_length()
+        else:
+            delta_width = 0
         stats.update({
             "n_distinct": int(n_distinct),
             "distinct_ratio": float(n_distinct / max(1, len(v))),
@@ -92,6 +99,7 @@ def profile_arrow(arr: pa.Array, name: str = "") -> dict:
             "avg_run": avg_run,
             "min": int(v.min()) if len(v) else 0,
             "max": int(v.max()) if len(v) else 0,
+            "delta_width": delta_width,
             "raw_bytes": int(8 * len(v)),
         })
     else:

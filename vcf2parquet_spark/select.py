@@ -44,8 +44,10 @@ def choose_codec(stats: dict) -> str:
             return "for"
         if stats["avg_run"] >= RLE_RUN:
             return "rle"
-        if stats["min"] >= 0 and bit_width(stats["max"]) <= bit_width(
-                stats["max"] - stats["min"]):
+        for_width = bit_width(stats["max"] - stats["min"])
+        if stats.get("delta_width", 64) < for_width:
+            return "delta"        # sorted/clustered values
+        if stats["min"] >= 0 and bit_width(stats["max"]) <= for_width:
             return "bitpack"
         return "for"
     if stats["type"] == "string":

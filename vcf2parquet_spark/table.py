@@ -76,12 +76,21 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
     os.rename(tmp, path)
 
 
-def write_blocks_file(path: str, table: pa.Table) -> None:
-    """Write the blocks parquet for one partition atomically."""
+def write_blocks_file(path: str, table: pa.Table,
+                      parquet_version: str = "2.6") -> None:
+    """Write the blocks parquet for one partition atomically.
+
+    ``parquet_version`` mirrors the reference's --parquet-version v1/v2
+    switch (/root/reference/src/cli.rs:139-145): "1.0" writes v1 data
+    pages, "2.4"/"2.6" v2.  Payloads are pre-compressed by our codecs,
+    so the container itself is uncompressed; page statistics stay on
+    (the reference always enables them, src/lib.rs:50).
+    """
     import pyarrow.parquet as pq
 
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp, compression="none")  # payloads are pre-compressed
+    pq.write_table(table, tmp, compression="none",
+                   version=parquet_version, write_statistics=True)
     os.rename(tmp, path)
 
 
