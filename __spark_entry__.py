@@ -241,6 +241,19 @@ def q_ann_buckets(spark, sf_dir):
     return lsh_buckets(emb, n_planes=6, dim=64)
 
 
+def q_ivf_assign(spark, sf_dir):
+    from vcf2parquet_spark.functions.similarity import ivf_assign
+    emb = _doc(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, n_centroids=8, dim=64)
+
+
+def q_ivf_topk(spark, sf_dir):
+    from vcf2parquet_spark.functions.similarity import ivf_topk
+    emb = _doc(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, k=3, nprobe=2, n_centroids=8, dim=64)
+
+
 def q_multimodal_meta(spark, sf_dir):
     df = _doc(spark, sf_dir)
     return df.select(
@@ -306,10 +319,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "encode_roundtrip": q_encode_roundtrip,
         "media_features": q_media_features,
     }
+
+
+# SQL mirror of similarity.ivf_seed_centroids (same closed form) and of
+# ivf_assign's rounded squared-L2 distance — shared by both IVF oracles.
+_IVF_CENT_SQL = """
+    SELECT CAST(j AS INT) AS centroid_id,
+           list_transform(generate_series(0, 63),
+             i -> CAST(((23*j + 7*i) % 13) - 6 AS DOUBLE)) AS cvec
+    FROM (SELECT unnest(generate_series(0, 7)) AS j) t
+"""
+_IVF_DIST_SQL = """
+    round(list_sum(list_transform(generate_series(1, 64),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+         * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 4)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -551,6 +581,52 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
         "ann_buckets": None,  # filled programmatically below
+        "ivf_assign": f"""
+            WITH cent AS ({_IVF_CENT_SQL}), d AS (
+              SELECT e.vec_id, c.centroid_id,
+                     {_IVF_DIST_SQL} AS dist
+              FROM embeddings e CROSS JOIN cent c
+            )
+            SELECT vec_id, centroid_id, dist FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, centroid_id) AS rn FROM d
+            ) WHERE rn = 1
+        """,
+        "ivf_topk": f"""
+            WITH cent AS ({_IVF_CENT_SQL}), d AS (
+              SELECT e.vec_id, c.centroid_id,
+                     {_IVF_DIST_SQL} AS dist
+              FROM embeddings e CROSS JOIN cent c
+            ), assign AS (
+              SELECT vec_id AS neighbour_id, centroid_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, centroid_id) AS rn FROM d
+              ) WHERE rn = 1
+            ), probes AS (
+              SELECT vec_id AS query_id, centroid_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, centroid_id) AS rn
+                FROM d WHERE vec_id < 3
+              ) WHERE rn <= 2
+            ), scored AS (
+              SELECT p.query_id, a.neighbour_id,
+                     round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(n.embedding AS DOUBLE[])), 6) AS score
+              FROM probes p
+              JOIN assign a ON a.centroid_id = p.centroid_id
+              JOIN embeddings q ON q.vec_id = p.query_id
+              JOIN embeddings n ON n.vec_id = a.neighbour_id
+              WHERE a.neighbour_id <> p.query_id
+            )
+            SELECT query_id, neighbour_id, score,
+                   CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score DESC, neighbour_id) AS rank
+              FROM scored
+            ) WHERE rank <= 3
+        """,
         "multimodal_meta": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -96,3 +96,25 @@ def test_cli_codec_override(spark, corpus_parquet, tmp_path, capsys):
     m = next(iter(tbl.committed_parts(out).values()))
     assert m["codecs"]["content"] == "plain+zlib"
     assert m["codecs"]["lang"] == "plain"
+
+
+def test_cli_history_no_spark(tmp_path, capsys, monkeypatch):
+    """`history` is a pure metadata read: it must print the snapshot log
+    without ever starting a SparkSession."""
+    from vcf2parquet_spark import cli
+
+    out = str(tmp_path / "blocks")
+    tbl.init_layout(out)
+    tbl.commit_manifest(out, 0, {"part_id": 0, "n_rows": 5,
+                                 "raw_bytes": 10, "enc_bytes": 4})
+    tbl.commit_snapshot(out, operation="encode")
+
+    monkeypatch.setattr(
+        "vcf2parquet_spark.session.get_spark",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("spark started")))
+    rc = cli.main(["history", "-o", out])
+    assert rc == 0
+    snaps = json.loads(capsys.readouterr().out)
+    assert [s["snapshot_id"] for s in snaps] == [0]
+    assert snaps[0]["part_ids"] == [0]
+    assert snaps[0]["summary"]["n_rows"] == 5

@@ -136,3 +136,36 @@ def test_decode_with_derived_columns(spark, corpus, encoded):
     row = d.limit(1).collect()[0]
     assert row["size_bytes"] == len(row["content"].encode())
     assert row["n_lines"] == row["content"].count("\n") + 1
+
+
+def test_snapshot_log_and_time_travel(spark, corpus, tmp_path):
+    """Two incremental encodes append two snapshots; decode AS OF the
+    first snapshot returns exactly the first batch (Iceberg VERSION AS
+    OF analogue over the snapshot log)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "blocks")
+    first = corpus.filter(F.col("repo") < "org2")
+    rest = corpus.filter(F.col("repo") >= "org2")
+    job1 = encode(spark, first, out, target_rows=2_000)
+    job2 = encode(spark, rest, out, target_rows=2_000,
+                  part_id_offset=1_000)
+
+    snaps = tbl.snapshots(out)
+    assert [s["snapshot_id"] for s in snaps] == [0, 1]
+    assert snaps[1]["parent_id"] == 0
+    assert snaps[0]["summary"]["n_rows"] == first.count()
+    assert snaps[1]["summary"]["n_rows"] == corpus.count()
+    assert job1["current_snapshot_id"] == 0
+    assert job2["current_snapshot_id"] == 1
+
+    asof0 = decode(spark, out, snapshot_id=0)
+    assert asof0.count() == first.count()
+    assert asof0.select("repo").distinct().exceptAll(
+        first.select("repo").distinct()).count() == 0
+    assert decode(spark, out, snapshot_id=1).count() == corpus.count()
+    assert decode(spark, out).count() == corpus.count()
+
+    from vcf2parquet_spark.errors import StorageError
+    with pytest.raises(StorageError):
+        decode(spark, out, snapshot_id=99)

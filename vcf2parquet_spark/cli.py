@@ -12,8 +12,9 @@ Ours (``python -m vcf2parquet_spark ...``):
                                                     # the reference's
                                                     # file-per-RecordBatch mode,
                                                     # lib.rs:105-118)
-    decode  -o OUT --to PARQUET_DIR
+    decode  -o OUT --to PARQUET_DIR [--snapshot-id K]   # K = time travel
     verify  -i CORPUS_PARQUET -o OUT
+    history -o OUT                                  # snapshot log (lineage)
     corpus  --rows N --to PARQUET_DIR [--seed 42]   # deterministic test corpus
 
 Defaults mirror the reference where meaningful: batch 100_000
@@ -64,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("-o", "--output", required=True, help="blocks table dir")
     pd.add_argument("--to", required=True, help="destination parquet dir")
     pd.add_argument("--include-derived", action="store_true")
+    pd.add_argument("--snapshot-id", type=int, default=None,
+                    help="time travel: decode the table AS OF this snapshot")
+
+    ph = sub.add_parser("history", help="print the snapshot log")
+    ph.add_argument("-o", "--output", required=True, help="blocks table dir")
 
     pv = sub.add_parser("verify", help="sha256 round-trip check")
     pv.add_argument("-i", "--input", required=True)
@@ -75,6 +81,11 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--seed", type=int, default=42)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "history":   # pure metadata read — no Spark needed
+        from vcf2parquet_spark import table as tbl_
+        print(json.dumps(tbl_.snapshots(args.output), indent=1))
+        return 0
 
     from pyspark.sql import SparkSession
 
@@ -97,9 +108,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "decode":
             from vcf2parquet_spark.decode import decode
             decode(spark, args.output,
-                   include_derived=args.include_derived) \
+                   include_derived=args.include_derived,
+                   snapshot_id=args.snapshot_id) \
                 .write.mode("overwrite").parquet(args.to)
-            print(json.dumps({"decoded_to": args.to}))
+            print(json.dumps({"decoded_to": args.to,
+                              "snapshot_id": args.snapshot_id}))
         elif args.cmd == "verify":
             from vcf2parquet_spark.decode import verify
             res = verify(spark, spark.read.parquet(args.input), args.output)

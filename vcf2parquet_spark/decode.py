@@ -33,13 +33,27 @@ _SPARK_TYPES = {"string": "string", "int64": "long"}
 
 def decode(spark: SparkSession, output: str,
            columns: list[str] | None = None,
-           include_derived: bool = False) -> DataFrame:
-    """Reconstruct the encoded table as a DataFrame (lazy)."""
+           include_derived: bool = False,
+           snapshot_id: int | None = None) -> DataFrame:
+    """Reconstruct the encoded table as a DataFrame (lazy).
+
+    ``snapshot_id`` reads the table AS OF that snapshot (time travel):
+    only partitions committed at that point are scanned — the Iceberg
+    ``VERSION AS OF`` analogue over the snapshot log in ``table.py``.
+    """
     import os
 
     from vcf2parquet_spark.errors import StorageError
 
     manifests = tbl.committed_parts(output)
+    if snapshot_id is not None:
+        snaps = {s["snapshot_id"]: s for s in tbl.snapshots(output)}
+        if snapshot_id not in snaps:
+            raise StorageError(
+                f"unknown snapshot {snapshot_id} under {output}; "
+                f"have {sorted(snaps)}")
+        keep = set(snaps[snapshot_id]["part_ids"])
+        manifests = {pid: m for pid, m in manifests.items() if pid in keep}
     if not manifests:
         raise StorageError(f"no committed partitions under {output}")
     missing = [pid for pid in manifests

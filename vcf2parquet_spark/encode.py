@@ -73,6 +73,11 @@ class EncodeOptions:
     resume: bool = True
     derived_columns: bool = True
     sort_columns: tuple = ("repo", "path", "commit", "content")
+    # fold the deterministic sort into the shuffle's own sort: Spark must
+    # sort by part_id before applyInArrow anyway, so sorting by
+    # (part_id, *sort_columns) there costs one JVM sort total and lets
+    # the UDF skip its pyarrow sort (a full table copy) entirely
+    presort_in_shuffle: bool = True
     part_id_offset: int = 0   # namespace for incremental/streaming appends
     parquet_version: str = "2.6"  # blocks container pages (ref: cli.rs:139-145)
 
@@ -146,12 +151,18 @@ def _content_digest(t: pa.Table) -> str:
 
 
 def encode_partition(part_id: int, t: pa.Table, output: str,
-                     opts: EncodeOptions, schema_columns: list[str]) -> dict:
-    """Encode one work unit (runs on an executor). Returns summary dict."""
+                     opts: EncodeOptions, schema_columns: list[str],
+                     already_sorted: bool = False) -> dict:
+    """Encode one work unit (runs on an executor). Returns summary dict.
+
+    ``already_sorted`` is set by :func:`encode` when the shuffle itself
+    ordered rows by ``sort_columns`` (UTF-8 byte order — identical to
+    pyarrow's string ordering, so block bytes are unchanged either way).
+    """
     t0 = time.time()
     sort_keys = [(c, "ascending") for c in opts.sort_columns
                  if c in t.column_names]
-    if sort_keys:
+    if sort_keys and not already_sorted:
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
     if opts.derived_columns:
         t = _derive_int_columns(t)
@@ -260,27 +271,37 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     out_cols = schema_columns
     opts_b = opts
 
+    presort = (opts.presort_in_shuffle
+               and all(c in with_part.columns for c in opts.sort_columns))
+
     def _encode_group(key: tuple, t: pa.Table) -> pa.Table:
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
         pid = int(key[0].as_py())
         t = t.drop_columns(["part_id"])
-        summary = encode_partition(pid, t, output, opts_b, list(out_cols))
+        summary = encode_partition(pid, t, output, opts_b, list(out_cols),
+                                   already_sorted=presort)
         return pa.Table.from_pylist([summary], schema=pa.schema([
             ("part_id", pa.int32()), ("n_rows", pa.int64()),
             ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
             ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
             ("seconds", pa.float64()), ("status", pa.string())]))
 
+    shuffled = with_part.repartition("part_id")
+    if presort:
+        shuffled = shuffled.sortWithinPartitions("part_id",
+                                                 *opts.sort_columns)
     summaries = (
-        with_part
-        .repartition("part_id")
+        shuffled
         .groupBy("part_id")
         .applyInArrow(_encode_group, schema=SUMMARY_SCHEMA)
         .collect())
 
-    # 5. table-level metadata snapshot
+    # 5. table-level metadata + snapshot-log entry (time travel / lineage)
     all_manifests = tbl.committed_parts(output)
+    snap = tbl.commit_snapshot(output, operation="encode",
+                               wall_time=time.time())
     job = {
+        "current_snapshot_id": snap["snapshot_id"],
         "format": "vcf2parquet_spark.blocks.v1",
         "schema_columns": schema_columns,
         "n_partitions": n_parts,

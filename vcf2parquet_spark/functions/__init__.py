@@ -23,10 +23,14 @@ from vcf2parquet_spark.functions.dedup import (
 from vcf2parquet_spark.functions.similarity import (
     cosine_topk,
     lsh_buckets,
+    ivf_assign,
+    ivf_train,
+    ivf_topk,
 )
 
 __all__ = [
     "language_id", "quality_score", "token_stats", "fingerprint",
     "exact_dedup", "minhash_signatures", "lsh_candidates", "simhash",
     "ngram_jaccard_pairs", "cosine_topk", "lsh_buckets",
+    "ivf_assign", "ivf_train", "ivf_topk",
 ]

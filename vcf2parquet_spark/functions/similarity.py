@@ -58,6 +58,142 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 3,
             .select("query_id", "neighbour_id", "score", "rank"))
 
 
+def ivf_seed_centroids(n_centroids: int, dim: int) -> list[list[int]]:
+    """Deterministic integer seed centroids: c[j][i] = ((23j+7i) mod 13) - 6.
+
+    Same rationale as :func:`hyperplane_weights` — integer coordinates
+    are exactly representable in every engine, so list assignment is
+    reproducible across Spark / DuckDB (the driver's oracle recomputes
+    them with the same closed form).  On a real corpus these are the
+    k-means *initialization*; :func:`ivf_train` refines them.
+    """
+    return [[((23 * j + 7 * i) % 13) - 6 for i in range(dim)]
+            for j in range(n_centroids)]
+
+
+def _centroid_df(spark, centroids: list[list[float]]):
+    return spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "centroid_id int, cvec array<double>")
+
+
+def _sqdist(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_assign(df: DataFrame, centroids: list[list[float]] | None = None,
+               n_centroids: int = 8, dim: int = 64,
+               vec_col: str = "embedding", key_col: str = "vec_id"
+               ) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse quantizer).
+
+    The centroid table is tiny and **broadcast**; the argmin is a
+    map-only cross product + per-vector window, so the corpus side never
+    shuffles — at 100 TB the assignment is a single scan.  Distances are
+    rounded before ranking so float noise can't flip assignments between
+    engines; ties break on centroid_id.
+    """
+    spark = df.sparkSession
+    cents = centroids or ivf_seed_centroids(n_centroids, dim)
+    c = _centroid_df(spark, cents)
+    v = F.col(vec_col).cast("array<double>")
+    scored = (df.crossJoin(F.broadcast(c))
+              .withColumn("dist", F.round(_sqdist(v, F.col("cvec")), 4)))
+    w = Window.partitionBy(key_col).orderBy("dist", "centroid_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(key_col, "centroid_id", "dist"))
+
+
+def ivf_train(df: DataFrame, n_centroids: int = 8, dim: int = 64,
+              iters: int = 2, vec_col: str = "embedding",
+              key_col: str = "vec_id") -> list[list[float]]:
+    """Lloyd's k-means refinement of the seed centroids, fully in
+    DataFrame ops: assign (broadcast argmin) → per-dimension mean
+    (posexplode + groupBy + map-side partial aggregation) → new
+    centroid table.  Each iteration is one shuffle of (centroid_id,
+    dim_idx, partial sums) — size O(n_centroids × dim), independent of
+    corpus row count, so iterations stay cheap at any scale.
+
+    Returns plain Python centroids (driver-side list: n_centroids × dim
+    floats — tiny) for feeding into :func:`ivf_assign` / :func:`ivf_topk`.
+    """
+    cents = [[float(x) for x in c]
+             for c in ivf_seed_centroids(n_centroids, dim)]
+    vecs = df.select(F.col(key_col),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        assign = ivf_assign(vecs, centroids=cents, vec_col="v",
+                            key_col=key_col)
+        joined = vecs.join(assign, key_col)
+        means = (joined.select("centroid_id", F.posexplode("v")
+                               .alias("dim_idx", "val"))
+                 .groupBy("centroid_id", "dim_idx")
+                 .agg(F.avg("val").alias("mean")))
+        rows = (means.groupBy("centroid_id")
+                .agg(F.array_sort(F.collect_list(F.struct("dim_idx", "mean")))
+                     .alias("pairs"))
+                .select("centroid_id",
+                        F.transform("pairs", lambda p: p["mean"])
+                        .alias("cvec"))
+                .collect())
+        new = {r["centroid_id"]: list(r["cvec"]) for r in rows}
+        # empty clusters keep their previous centroid (standard Lloyd's)
+        cents = [new.get(j, cents[j]) for j in range(n_centroids)]
+    return cents
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame,
+             centroids: list[list[float]] | None = None,
+             k: int = 3, nprobe: int = 2, n_centroids: int = 8,
+             dim: int = 64, vec_col: str = "embedding",
+             key_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest centroid
+    lists per query, exact cosine re-rank inside them.
+
+    Scale path vs :func:`cosine_topk`: the corpus is scanned once to
+    build the (broadcast-argmin, shuffle-free) inverted lists, then the
+    search is an equi-join on ``centroid_id`` — candidates per query
+    drop from |corpus| to |corpus|·nprobe/n_centroids, and the join
+    co-partitions by list id instead of cross-producting.
+    """
+    cents = centroids or ivf_seed_centroids(n_centroids, dim)
+    lists = ivf_assign(df, centroids=cents, vec_col=vec_col,
+                       key_col=key_col).join(
+        df.select(F.col(key_col).alias("neighbour_id"),
+                  F.col(vec_col).alias("cvec")),
+        F.col(key_col) == F.col("neighbour_id")).drop(key_col, "dist")
+
+    spark = df.sparkSession
+    c = _centroid_df(spark, cents).withColumnRenamed("cvec", "centvec")
+    qv = F.col(vec_col).cast("array<double>")
+    wq = Window.partitionBy("query_id").orderBy("qdist", "centroid_id")
+    probes = (queries.select(F.col(key_col).alias("query_id"),
+                             qv.alias("qvec"))
+              .crossJoin(F.broadcast(c))
+              .withColumn("qdist", F.round(_sqdist(F.col("qvec"),
+                                                   F.col("centvec")), 4))
+              .withColumn("prn", F.row_number().over(wq))
+              .filter(F.col("prn") <= nprobe)
+              .select("query_id", "qvec", "centroid_id"))
+
+    scored = (lists.join(F.broadcast(probes), "centroid_id")
+              .filter(F.col("neighbour_id") != F.col("query_id"))
+              .withColumn(
+                  "score",
+                  F.round(_dot(F.col("qvec"),
+                               F.col("cvec").cast("array<double>"))
+                          / (_norm(F.col("qvec"))
+                             * _norm(F.col("cvec").cast("array<double>"))),
+                          6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbour_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbour_id", "score", "rank"))
+
+
 def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic integer hyperplanes: w[j][i] = ((37j + 17i) mod 19) - 9.
 

@@ -46,6 +46,7 @@ BLOCKS_SCHEMA = pa.schema([
 
 MANIFEST_DIR = "manifests"
 DATA_DIR = "data"
+SNAPSHOT_DIR = "snapshots"
 TABLE_FILE = "_table.json"
 
 
@@ -64,6 +65,7 @@ def manifest_path(output: str, part_id: int) -> str:
 def init_layout(output: str) -> None:
     os.makedirs(os.path.join(output, MANIFEST_DIR), exist_ok=True)
     os.makedirs(os.path.join(output, DATA_DIR), exist_ok=True)
+    os.makedirs(os.path.join(output, SNAPSHOT_DIR), exist_ok=True)
 
 
 def atomic_write_bytes(path: str, data: bytes) -> None:
@@ -123,3 +125,64 @@ def write_table_meta(output: str, meta: dict) -> None:
 def read_table_meta(output: str) -> dict:
     with open(os.path.join(output, TABLE_FILE)) as f:
         return json.load(f)
+
+
+# --- snapshot log (Iceberg-style table history / time travel) -------------
+#
+# Every successful encode (or streaming epoch) appends snap-<seq>.json
+# recording exactly which committed partitions the table comprised at
+# that point.  ``decode(..., snapshot_id=)`` reads the table AS OF that
+# snapshot — the filesystem analogue of Iceberg's snapshot list +
+# VERSION AS OF, and the lineage record the north rule's "per-partition
+# lineage + metrics" asks for.  Snapshot ids are the dense sequence
+# 0,1,2,... (deterministic, no wall-clock in the identity; wall time is
+# carried only as an informational metric).
+
+
+def snapshot_path(output: str, snapshot_id: int) -> str:
+    return os.path.join(output, SNAPSHOT_DIR, f"snap-{snapshot_id:05d}.json")
+
+
+def snapshots(output: str) -> list[dict]:
+    """All snapshots, oldest first."""
+    sdir = os.path.join(output, SNAPSHOT_DIR)
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(sdir)):
+        if name.startswith("snap-") and name.endswith(".json"):
+            with open(os.path.join(sdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def commit_snapshot(output: str, operation: str, wall_time: float | None = None
+                    ) -> dict:
+    """Append a snapshot capturing the current committed-partition set.
+
+    Written via the same tmp+rename primitive; the table file's
+    ``current_snapshot_id`` is updated after, so a crash between the two
+    leaves a readable table whose current pointer is simply one behind
+    (the snapshot itself is still in the log — never a torn state).
+    """
+    manifests = committed_parts(output)
+    prev = snapshots(output)
+    if prev and prev[-1]["part_ids"] == sorted(manifests):
+        return prev[-1]   # no-op (e.g. fully-resumed run): nothing changed
+    sid = prev[-1]["snapshot_id"] + 1 if prev else 0
+    snap = {
+        "snapshot_id": sid,
+        "parent_id": prev[-1]["snapshot_id"] if prev else None,
+        "operation": operation,
+        "part_ids": sorted(manifests),
+        "summary": {
+            "n_partitions": len(manifests),
+            "n_rows": sum(m["n_rows"] for m in manifests.values()),
+            "raw_bytes": sum(m["raw_bytes"] for m in manifests.values()),
+            "enc_bytes": sum(m["enc_bytes"] for m in manifests.values()),
+        },
+        "metrics": {"wall_time": wall_time},
+    }
+    atomic_write_bytes(snapshot_path(output, sid),
+                       json.dumps(snap, sort_keys=True, indent=1).encode())
+    return snap
