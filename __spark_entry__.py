@@ -241,6 +241,12 @@ def q_ann_buckets(spark, sf_dir):
     return lsh_buckets(emb, n_planes=6, dim=64)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    from vcf2parquet_spark.functions.dedup import embedding_near_dups
+    emb = _doc(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.2, n_planes=6, dim=64)
+
+
 def q_ivf_assign(spark, sf_dir):
     from vcf2parquet_spark.functions.similarity import ivf_assign
     emb = _doc(spark, sf_dir, "embeddings")
@@ -319,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
         "ann_buckets": q_ann_buckets,
+        "embedding_near_dups": q_embedding_near_dups,
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
@@ -580,7 +587,8 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 3
         """,
-        "ann_buckets": None,  # filled programmatically below
+        "ann_buckets": None,           # filled programmatically below
+        "embedding_near_dups": None,   # filled programmatically below
         "ivf_assign": f"""
             WITH cent AS ({_IVF_CENT_SQL}), d AS (
               SELECT e.vec_id, c.centroid_id,
@@ -635,7 +643,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # encode_roundtrip / media_features: vectorized Arrow kernel paths,
         # not SQL-expressible -> rows-only check (omitted on purpose)
-    } | {"ann_buckets": _ann_buckets_sql()}
+    } | {"ann_buckets": _ann_buckets_sql(),
+         "embedding_near_dups": _near_dups_sql()}
 
 
 def _ann_buckets_sql() -> str:
@@ -650,3 +659,22 @@ def _ann_buckets_sql() -> str:
         bits.append(f"CASE WHEN round({terms}, 4) >= 0 THEN '1' ELSE '0' END")
     concat = ", ".join(bits)
     return f"SELECT vec_id, concat({concat}) AS bucket FROM embeddings"
+
+
+def _near_dups_sql() -> str:
+    """SQL mirror of dedup.embedding_near_dups: same LSH buckets, then
+    within-bucket pairwise cosine >= threshold."""
+    buckets = _ann_buckets_sql()
+    return f"""
+        WITH b AS ({buckets}), scored AS (
+          SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                 round(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(ec.embedding AS DOUBLE[])), 6) AS score
+          FROM b a
+          JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings ec ON ec.vec_id = c.vec_id
+        )
+        SELECT id_a, id_b, score FROM scored WHERE score >= 0.2
+    """

@@ -286,7 +286,15 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
             ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
             ("seconds", pa.float64()), ("status", pa.string())]))
 
-    shuffled = with_part.repartition("part_id")
+    # Explicit shuffle width: work units hashed into only ~#cores buckets
+    # make the largest bucket the wall clock (and AQE would coalesce
+    # them further).  4x-core oversubscription with bounded-size units
+    # lets the scheduler stream tasks onto free cores, so the straggler
+    # tail is one unit, not one bucket — this is what keeps the N->4N
+    # scaling linear.  Capped by the unit count (no empty tasks).
+    n_shuffle = max(1, min(n_parts - opts.part_id_offset,
+                           spark.sparkContext.defaultParallelism * 4))
+    shuffled = with_part.repartition(n_shuffle, "part_id")
     if presort:
         shuffled = shuffled.sortWithinPartitions("part_id",
                                                  *opts.sort_columns)

@@ -19,6 +19,7 @@ from vcf2parquet_spark.functions.dedup import (
     lsh_candidates,
     simhash,
     ngram_jaccard_pairs,
+    embedding_near_dups,
 )
 from vcf2parquet_spark.functions.similarity import (
     cosine_topk,
@@ -31,6 +32,7 @@ from vcf2parquet_spark.functions.similarity import (
 __all__ = [
     "language_id", "quality_score", "token_stats", "fingerprint",
     "exact_dedup", "minhash_signatures", "lsh_candidates", "simhash",
-    "ngram_jaccard_pairs", "cosine_topk", "lsh_buckets",
+    "ngram_jaccard_pairs", "embedding_near_dups",
+    "cosine_topk", "lsh_buckets",
     "ivf_assign", "ivf_train", "ivf_topk",
 ]

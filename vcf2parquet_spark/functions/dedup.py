@@ -152,3 +152,39 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
         out = out.join(F.broadcast(pairs), ["left_id", "right_id"], "left_semi")
     return out.filter(F.col("jaccard") >= threshold) \
               .select("left_id", "right_id", "n_common", "jaccard")
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.2,
+                        n_planes: int = 6, dim: int = 64,
+                        vec_col: str = "embedding", key_col: str = "vec_id"
+                        ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    The quadratic all-pairs cosine is cut to within-bucket pairs by the
+    hyperplane LSH of :func:`~vcf2parquet_spark.functions.similarity.
+    lsh_buckets` (near-identical vectors share all sign bits, so true
+    near-dups land in the same bucket); the only shuffle is the
+    self-equi-join on the bucket key, and bucket sizes are bounded by
+    2^n_planes fan-out.  Returns (id_a, id_b, score) with id_a < id_b,
+    score = cosine rounded to 6.
+    """
+    from vcf2parquet_spark.functions.similarity import (
+        _dot, _norm, lsh_buckets)
+
+    buckets = lsh_buckets(df, n_planes=n_planes, dim=dim,
+                          vec_col=vec_col, key_col=key_col)
+    v = (df.select(F.col(key_col), F.col(vec_col).cast("array<double>")
+                   .alias("_v"))
+         .join(buckets, key_col))
+    a = v.select(F.col(key_col).alias("id_a"), F.col("_v").alias("va"),
+                 F.col("bucket"))
+    b = v.select(F.col(key_col).alias("id_b"), F.col("_v").alias("vb"),
+                 F.col("bucket"))
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("score",
+                        F.round(_dot(F.col("va"), F.col("vb"))
+                                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                                6))
+            .filter(F.col("score") >= threshold)
+            .select("id_a", "id_b", "score"))

@@ -142,12 +142,14 @@ def _match_at(bytes_at: np.ndarray, k8: np.ndarray, rem: np.ndarray,
         ent = table.lut.get(L)
         if ent is None:
             continue
-        cand = np.flatnonzero(unmatched & table.pref2[L][u16] & (rem >= L))
+        # direct ndarray methods: this is the innermost loop and the
+        # numpy wrapper layers (flatnonzero/_wrapfunc) are measurable
+        cand = (unmatched & table.pref2[L][u16] & (rem >= L)).nonzero()[0]
         if len(cand) == 0:
             continue
         keys, codes = ent
         kL = k8[cand] & _MASKS[L]
-        p = np.searchsorted(keys, kL)
+        p = keys.searchsorted(kL)
         pc = np.minimum(p, len(keys) - 1)
         hit = keys[pc] == kL
         hc = cand[hit]
@@ -162,31 +164,41 @@ def _match_at(bytes_at: np.ndarray, k8: np.ndarray, rem: np.ndarray,
     return step, code
 
 
-def _parse(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
-           key8: np.ndarray | None = None
+def _parse(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+           table: SymbolTable, key8: np.ndarray | None = None,
+           padded: np.ndarray | None = None
            ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Fused greedy parse: per-string wavefront where each wave matches
     only at the currently-visited positions (O(6 × tokens), not O(6 × n)).
 
-    Returns (vis: token positions grouped by string ascending,
-    counts: tokens per string, codes, steps aligned with vis).
+    ``starts``/``ends`` are absolute [start, end) spans into ``data`` for
+    the strings to parse, in any order — callers pass length-sorted
+    subsets WITHOUT physically gathering the bytes (the gather was the
+    single biggest memory cost of encode).  Positions in ``vis`` are
+    absolute into ``data``; ``counts`` aligns with ``starts``.
     """
-    n_str = len(offsets) - 1
+    n_str = len(starts)
     counts = np.zeros(n_str, dtype=np.int64)
     if n_str == 0 or len(data) == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, counts, z.astype(np.uint8), z
     if key8 is None and PRECOMPUTE_KEYS:
         key8 = _window_keys(data)
-    padded = _pad(data) if key8 is None else None
-    ends_s = offsets[1:].astype(np.int64)
-    pos = offsets[:-1].astype(np.int64)
+    if key8 is None and padded is None:
+        padded = _pad(data)
+    ends_s = ends.astype(np.int64)
+    pos = starts.astype(np.int64)
     sid = np.arange(n_str, dtype=np.int64)
     alive = pos < ends_s
     pos, sid = pos[alive], sid[alive]
     waves: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
     w = 0
-    while len(pos) and w < WAVE_CAP:
+    # Once the frontier drains below ~1/16 of its start (the long-string
+    # tail), per-wave fixed numpy overhead dominates; switch those
+    # stragglers to one full-slice match + pointer-doubling walk each —
+    # the identical greedy parse, minus hundreds of near-empty waves.
+    tail_cut = max(32, len(pos) >> 4)
+    while len(pos) > tail_cut and w < WAVE_CAP:
         rem = ends_s[sid] - pos
         k8 = key8[pos] if key8 is not None else _keys_at(padded, pos)
         step, code = _match_at(data[pos], k8, rem, table)
@@ -196,13 +208,15 @@ def _parse(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
         alive = pos < ends_s[sid]
         pos, sid = pos[alive], sid[alive]
         w += 1
-    # pointer-doubling fallback for strings still active after WAVE_CAP:
-    # match their full remaining slice once, then walk it.
+    w_stop = w   # every surviving string has emitted exactly w_stop tokens
+    # tail / post-WAVE_CAP strings: match the full remaining slice once,
+    # then walk it (same greedy result).
     extras: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
     for p0, s0 in zip(pos.tolist(), sid.tolist()):
         e0 = int(ends_s[s0])
         sl = slice(p0, e0)
-        k8_sl = key8[sl] if key8 is not None else _window_keys(data[sl])
+        k8_sl = (key8[sl] if key8 is not None
+                 else _keys_at(padded, np.arange(p0, e0, dtype=np.int64)))
         rem_sl = np.arange(e0 - p0, 0, -1, dtype=np.int64)
         st, co = _match_at(data[sl], k8_sl, rem_sl, table)
         ext = _visit_slice(st)
@@ -214,13 +228,13 @@ def _parse(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
     vis = np.empty(m, dtype=np.int64)
     codes = np.empty(m, dtype=np.uint8)
     steps = np.empty(m, dtype=np.int64)
-    for w, (p, s, c, st) in enumerate(waves):
-        dst = out_start[s] + w
+    for wi, (p, s, c, st) in enumerate(waves):
+        dst = out_start[s] + wi
         vis[dst] = p
         codes[dst] = c
         steps[dst] = st
     for s0, p_ext, c_ext, st_ext in extras:
-        dst = slice(out_start[s0] + WAVE_CAP, out_start[s0 + 1])
+        dst = slice(out_start[s0] + w_stop, out_start[s0 + 1])
         vis[dst] = p_ext
         codes[dst] = c_ext
         steps[dst] = st_ext
@@ -246,33 +260,39 @@ def _visit_slice(step: np.ndarray) -> np.ndarray:
     return visited[visited < n]
 
 
-def _walk(step: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _walk(step: np.ndarray, starts: np.ndarray, ends: np.ndarray
+          ) -> tuple[np.ndarray, np.ndarray]:
     """Token start positions of the greedy parse of every string.
 
     Per-string wavefront: all strings advance one token per wave;
     finished strings are compacted out, so total work is O(total tokens).
-    Returns (vis: ascending token positions grouped by string,
-    counts: tokens per string).
+    ``starts``/``ends`` are absolute spans into ``step`` (subset, any
+    order — same no-gather contract as ``_parse``).  Returns (vis:
+    token positions grouped by string, counts aligned with ``starts``).
     """
-    n_str = len(offsets) - 1
+    n_str = len(starts)
     counts = np.zeros(n_str, dtype=np.int64)
     if n_str == 0 or len(step) == 0:
         return np.zeros(0, dtype=np.int64), counts
-    ends_s = offsets[1:].astype(np.int64)
-    active_pos = offsets[:-1].astype(np.int64)
+    ends_s = ends.astype(np.int64)
+    active_pos = starts.astype(np.int64)
     active_sid = np.arange(n_str, dtype=np.int64)
     alive = active_pos < ends_s
     active_pos, active_sid = active_pos[alive], active_sid[alive]
     waves: list[tuple[np.ndarray, np.ndarray]] = []
     w = 0
-    while len(active_pos) and w < WAVE_CAP:
+    # same tail switch as _parse: drained frontiers cost more in per-wave
+    # overhead than one pointer-doubling walk per straggler
+    tail_cut = max(32, len(active_pos) >> 4)
+    while len(active_pos) > tail_cut and w < WAVE_CAP:
         waves.append((active_pos, active_sid))
         counts[active_sid] += 1
         nxt = active_pos + step[active_pos]
         alive = nxt < ends_s[active_sid]
         active_pos, active_sid = nxt[alive], active_sid[alive]
         w += 1
-    # pointer-doubling fallback for strings still active after WAVE_CAP
+    w_stop = w
+    # pointer-doubling walk for tail / post-WAVE_CAP strings
     extras: list[tuple[int, np.ndarray]] = []
     for p0, sid in zip(active_pos.tolist(), active_sid.tolist()):
         ext = p0 + _visit_slice(step[p0 : ends_s[sid]])
@@ -281,22 +301,24 @@ def _walk(step: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray
     out_start = np.zeros(n_str + 1, dtype=np.int64)
     np.cumsum(counts, out=out_start[1:])
     vis = np.empty(int(out_start[-1]), dtype=np.int64)
-    for w, (p, s) in enumerate(waves):
-        vis[out_start[s] + w] = p
+    for wi, (p, s) in enumerate(waves):
+        vis[out_start[s] + wi] = p
     for sid, ext in extras:
-        vis[out_start[sid] + WAVE_CAP : out_start[sid + 1]] = ext
+        vis[out_start[sid] + w_stop : out_start[sid + 1]] = ext
     return vis, counts
 
 
-def _encode_chunk(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
-                  key8: np.ndarray | None = None
+def _encode_chunk(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                  table: SymbolTable, key8: np.ndarray | None = None,
+                  padded: np.ndarray | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
-    """Encode one concatenated-string chunk. Returns (enc bytes, enc offsets)."""
-    n = len(data)
-    n_str = len(offsets) - 1
-    if n == 0:
+    """Encode one subset of strings (absolute spans, no byte gather).
+    Returns (enc bytes in subset order, enc offsets per subset string)."""
+    n_str = len(starts)
+    if n_str == 0 or int((ends - starts).sum()) == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(n_str + 1, dtype=np.int64)
-    vis, counts, vcode, _steps = _parse(data, offsets, table, key8=key8)
+    vis, counts, vcode, _steps = _parse(data, starts, ends, table,
+                                        key8=key8, padded=padded)
     esc = vcode == ESCAPE
     emit = np.where(esc, 2, 1).astype(np.int64)
     out_pos = np.zeros(len(vis) + 1, dtype=np.int64)
@@ -310,15 +332,17 @@ def _encode_chunk(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
     return out, enc_offsets
 
 
-def _decode_chunk(enc: np.ndarray, enc_offsets: np.ndarray, table: SymbolTable
+def _decode_chunk(enc: np.ndarray, step_in: np.ndarray, starts: np.ndarray,
+                  ends: np.ndarray, table: SymbolTable
                   ) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one chunk back to (data bytes, offsets)."""
-    m = len(enc)
-    n_str = len(enc_offsets) - 1
-    if m == 0:
+    """Decode one subset of encoded strings (absolute spans, no gather).
+    ``step_in`` is the escape-step array over the WHOLE ``enc`` buffer
+    (computed once by the caller).  Returns (out bytes in subset order,
+    out offsets per subset string)."""
+    n_str = len(starts)
+    if n_str == 0 or int((ends - starts).sum()) == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(n_str + 1, dtype=np.int64)
-    step_in = np.where(enc == ESCAPE, 2, 1).astype(np.int64)
-    vis, counts = _walk(step_in, enc_offsets)
+    vis, counts = _walk(step_in, starts, ends)
     codes = enc[vis].astype(np.int64)
     esc = codes == ESCAPE
     lens_ext = np.ones(256, dtype=np.int64)
@@ -406,7 +430,9 @@ def build_table(data: np.ndarray, offsets: np.ndarray,
     key8 = _window_keys(sdata)
     table = SymbolTable([])
     for _ in range(iters):
-        vis, counts, _codes, tok_len = _parse(sdata, soffs, table, key8=key8)
+        vis, counts, _codes, tok_len = _parse(
+            sdata, soffs[:-1].astype(np.int64), soffs[1:].astype(np.int64),
+            table, key8=key8)
         if len(vis) == 0:
             break
         sid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
@@ -469,16 +495,24 @@ def enc_fsst(arr: pa.Array) -> tuple[bytes, dict]:
     table = build_table(data, offsets)
     n_str = len(offsets) - 1
     # process strings ordered by length: chunk-mates finish the wavefront
-    # together, so no wave runs with a nearly-empty frontier (long-tail fix)
-    order = np.argsort(np.diff(offsets), kind="stable")
-    sdata, soffs = _gather_strings(data, offsets, order)
+    # together, so no wave runs with a nearly-empty frontier (long-tail
+    # fix).  The ordering is by INDEX only — _parse takes absolute
+    # (start, end) spans, so the raw bytes are never gathered; only the
+    # (much smaller) encoded output is reassembled into row order.
+    lens = np.diff(offsets).astype(np.int64)
+    order = np.argsort(lens, kind="stable")
+    soffs = np.zeros(n_str + 1, dtype=np.int64)
+    np.cumsum(lens[order], out=soffs[1:])       # virtual sorted offsets
+    all_starts = offsets[:-1].astype(np.int64)
+    all_ends = offsets[1:].astype(np.int64)
+    padded = _pad(data)
     enc_parts: list[np.ndarray] = []
     enc_offsets_sorted = np.zeros(n_str + 1, dtype=np.int64)
     base = 0
     for lo, hi in _chunk_bounds(soffs, CHUNK_BYTES):
-        cdata = sdata[soffs[lo] : soffs[hi]]
-        coffs = soffs[lo : hi + 1] - soffs[lo]
-        enc, eoffs = _encode_chunk(cdata, coffs, table)
+        idx = order[lo:hi]
+        enc, eoffs = _encode_chunk(data, all_starts[idx], all_ends[idx],
+                                   table, padded=padded)
         enc_parts.append(enc)
         enc_offsets_sorted[lo : hi + 1] = eoffs + base
         base += len(enc)
@@ -521,16 +555,25 @@ def dec_fsst(payload: bytes, meta: dict) -> pa.Array:
     np.cumsum(enc_lens, out=enc_offsets[1:])
     enc = np.frombuffer(get_section(payload, meta["sections"], "data"), dtype=np.uint8)
     n_str = meta["n"]
-    # same length-sorted wavefront trick as encode
-    order = np.argsort(np.diff(enc_offsets), kind="stable")
-    senc, soffs = _gather_strings(enc, enc_offsets, order)
+    if len(enc) < int(enc_offsets[-1]):
+        raise ValueError(
+            f"fsst payload truncated: data section has {len(enc)} bytes, "
+            f"offsets expect {int(enc_offsets[-1])}")
+    # same length-sorted, gather-free wavefront trick as encode
+    enc_lens_i = np.diff(enc_offsets).astype(np.int64)
+    order = np.argsort(enc_lens_i, kind="stable")
+    soffs = np.zeros(n_str + 1, dtype=np.int64)
+    np.cumsum(enc_lens_i[order], out=soffs[1:])
+    all_starts = enc_offsets[:-1].astype(np.int64)
+    all_ends = enc_offsets[1:].astype(np.int64)
+    step_in = np.where(enc == ESCAPE, 2, 1).astype(np.int64)
     out_parts: list[np.ndarray] = []
     out_offsets_sorted = np.zeros(n_str + 1, dtype=np.int64)
     base = 0
     for lo, hi in _chunk_bounds(soffs, CHUNK_BYTES):
-        cenc = senc[soffs[lo] : soffs[hi]]
-        coffs = soffs[lo : hi + 1] - soffs[lo]
-        out, ooffs = _decode_chunk(cenc, coffs, table)
+        idx = order[lo:hi]
+        out, ooffs = _decode_chunk(enc, step_in, all_starts[idx],
+                                   all_ends[idx], table)
         out_parts.append(out)
         out_offsets_sorted[lo : hi + 1] = ooffs + base
         base += len(out)
