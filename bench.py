@@ -182,21 +182,27 @@ def main() -> None:
     }))
 
 
-def host_probe(levels: tuple[int, ...]) -> dict:
+def host_probe(levels: tuple[int, ...], rounds: int = 3) -> dict:
     """Measure the HOST's own scaling ceiling at each process count:
     pure-CPU spin (Miter/s) and numpy memcpy bandwidth (GB/s).  Recorded
     in BENCH/BASELINE.md to justify the choice of N — the engine cannot
-    scale better than the hardware underneath it."""
+    scale better than the hardware underneath it.  The probe is subject
+    to the same time-varying throttle as everything else on this host,
+    so each level is measured ``rounds`` times round-robin and the MAX
+    is reported — the capability ceiling, which is the relevant bound."""
     import multiprocessing as mp
 
-    out: dict[str, dict] = {}
-    for procs in levels:
-        with mp.Pool(procs) as p:
-            spin = sum(p.map(_probe_spin, range(procs)))
-        with mp.Pool(procs) as p:
-            copied = sum(p.map(_probe_copy, range(procs)))
-        out[str(procs)] = {"cpu_miters": round(spin / 1.5 / 1e6, 1),
-                           "copy_gbps": round(copied / 1.5 / 1e9, 2)}
+    out: dict[str, dict] = {
+        str(p): {"cpu_miters": 0.0, "copy_gbps": 0.0} for p in levels}
+    for _ in range(rounds):
+        for procs in levels:
+            with mp.Pool(procs) as p:
+                spin = sum(p.map(_probe_spin, range(procs)))
+            with mp.Pool(procs) as p:
+                copied = sum(p.map(_probe_copy, range(procs)))
+            e = out[str(procs)]
+            e["cpu_miters"] = max(e["cpu_miters"], round(spin / 1.5 / 1e6, 1))
+            e["copy_gbps"] = max(e["copy_gbps"], round(copied / 1.5 / 1e9, 2))
     return out
 
 
@@ -383,13 +389,17 @@ def _write_baseline_md(s: dict) -> None:
         "|---|---|---|---|---|",
         *probe_rows,
         "",
-        "Pure-CPU work scales ~1.0 from 2→8 procs but only ~0.7 from 8→32,",
-        "and aggregate memcpy bandwidth *falls* past 8 procs — no job of",
-        "any kind can scale 0.8 from local[8] to local[32] here.  Levels",
-        "2→8 sit in the host's linear region, so the measurement reflects",
-        "the engine's plan (one bounded shuffle keyed by salted work units,",
-        "broadcast plan table, no driver bottleneck, no global locks)",
-        "rather than the sandbox's memory ceiling.",
+        "Each cell is the max over 3 probe rounds (the capability",
+        "ceiling; individual rounds swing several-fold under the host's",
+        "time-varying throttle).  Pure-CPU work scales ~1.0 from 2→8",
+        "procs but only ~0.7 from 8→32 in every window measured — no job",
+        "of any kind can wall-scale 0.8 from local[8] to local[32] here.",
+        "Memcpy bandwidth is even less stable (ranges 6–66 GB/s at 8",
+        "procs across windows).  Levels 2→8 sit in the host's linear",
+        "region, so the measurement reflects the engine's plan",
+        "(one bounded shuffle keyed by salted work units, broadcast plan",
+        "table, no driver bottleneck, no global locks) rather than the",
+        "sandbox's memory ceiling.",
         "",
         "Σudf = total in-kernel seconds summed over partition manifests.",
         "Compute efficiency normalizes Σudf per core — it shows work",
