@@ -296,6 +296,30 @@ def q_media_features(spark, sf_dir):
     return extract_features(media, dim=8)
 
 
+def q_media_resize(spark, sf_dir):
+    from vcf2parquet_spark.functions.multimodal import (
+        make_media_df, resize_media)
+    df = _doc(spark, sf_dir).filter(F.col("doc_id") < 50)
+    media = make_media_df(spark, df, payload_col="text")
+    return resize_media(media, width=8, height=8).select(
+        "media_id", "width", "height",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("checksum"))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing, aggregated so DuckDB can oracle it with
+    plain arithmetic (frame count + sampled-byte total per media)."""
+    from vcf2parquet_spark.functions.multimodal import (
+        make_media_df, sample_frames)
+    df = _doc(spark, sf_dir).filter(F.col("doc_id") < 50)
+    media = make_media_df(spark, df, payload_col="text")
+    frames = sample_frames(media, every_n=4, frame_bytes=256)
+    return (frames.groupBy("media_id")
+            .agg(F.count("*").cast("long").alias("n_sampled"),
+                 F.sum("n_bytes").alias("sampled_bytes")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: profile + codec plan."""
     return q_codec_plan(spark, "/root/testdata/sf0.001")
@@ -331,6 +355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "encode_roundtrip": q_encode_roundtrip,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -641,8 +667,27 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS checksum
             FROM documents
         """,
-        # encode_roundtrip / media_features: vectorized Arrow kernel paths,
-        # not SQL-expressible -> rows-only check (omitted on purpose)
+        "frame_sample": """
+            WITH c AS (
+              SELECT doc_id AS media_id,
+                     octet_length(CAST(text AS BLOB)) AS L,
+                     CAST(greatest(ceil(octet_length(CAST(text AS BLOB))
+                                        / 256.0), 1) AS BIGINT) AS n_frames
+              FROM documents WHERE doc_id < 50
+            )
+            SELECT media_id,
+                   CAST(ceil(n_frames / 4.0) AS BIGINT) AS n_sampled,
+                   CAST((ceil(n_frames / 4.0) - 1) * 256 +
+                        CASE WHEN 4 * (ceil(n_frames / 4.0) - 1) = n_frames - 1
+                             THEN CASE WHEN L = 0 THEN 0
+                                       WHEN L % 256 = 0 THEN 256
+                                       ELSE L % 256 END
+                             ELSE 256 END AS BIGINT) AS sampled_bytes
+            FROM c
+        """,
+        # encode_roundtrip / media_features / media_resize: vectorized
+        # Arrow/binary kernel paths, not SQL-expressible -> rows-only
+        # check (omitted on purpose)
     } | {"ann_buckets": _ann_buckets_sql(),
          "embedding_near_dups": _near_dups_sql()}
 

@@ -94,3 +94,84 @@ def extract_features(df: DataFrame, dim: int = 16,
 
     cols = ["media_id", "kind", "payload"]
     return df.select(*cols).mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = ("media_id long, kind string, payload binary, "
+                 "width int, height int")
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary, n_bytes long"
+
+
+def _fake_resize(payloads: pd.Series, wh: int) -> list[bytes]:
+    """Deterministic fake resize: evenly-spaced byte sample of each
+    payload down to ``wh`` bytes (gathers vectorized across the batch;
+    a real deployment decodes + PIL-resizes inside the same loop)."""
+    n = len(payloads)
+    lens = payloads.str.len().to_numpy(dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = np.frombuffer(b"".join(payloads.tolist()), dtype=np.uint8)
+    grid = np.arange(wh, dtype=np.int64)[None, :]
+    idx = offsets[:-1, None] + grid * np.maximum(lens, 1)[:, None] // wh
+    idx = np.minimum(idx, np.maximum(offsets[1:, None] - 1, offsets[:-1, None]))
+    mat = (flat[idx] if len(flat)
+           else np.zeros((n, wh), dtype=np.uint8))
+    mat[lens == 0] = 0
+    return [row.tobytes() for row in mat]
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32,
+                 deterministic_fake: bool = True) -> DataFrame:
+    """mapInPandas resize: payload -> fixed width×height payload.
+
+    Same plumbing contract as :func:`extract_features` — narrow map, no
+    shuffle, Arrow-batched; swap the fake for a real decode+resize
+    without touching the plan.
+    """
+    wh = width * height
+
+    def op(batches):
+        for pdf in batches:
+            if deterministic_fake:
+                out = _fake_resize(pdf["payload"], wh)
+            else:  # pragma: no cover — needs media libs
+                out = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": out,
+                "width": np.full(len(pdf), width, dtype=np.int32),
+                "height": np.full(len(pdf), height, dtype=np.int32),
+            })
+
+    return (df.select("media_id", "kind", "payload")
+            .mapInPandas(op, schema=RESIZE_SCHEMA))
+
+
+def sample_frames(df: DataFrame, every_n: int = 4,
+                  frame_bytes: int = 256) -> DataFrame:
+    """Frame sampling for video-like payloads: emit every ``every_n``-th
+    fixed-size frame as its own row (1→many mapInPandas — the output
+    row count varies per input row, which ``mapInPandas`` supports
+    natively; an ``explode`` can't carry the per-frame decode hook)."""
+
+    def op(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n_frames = max(1, -(-len(payload) // frame_bytes))
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(
+                        payload[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pd.DataFrame({
+                "media_id": ids,
+                "frame_idx": np.asarray(idxs, dtype=np.int32),
+                "frame": frames,
+                "n_bytes": np.asarray([len(f) for f in frames],
+                                      dtype=np.int64),
+            })
+
+    return (df.select("media_id", "payload")
+            .mapInPandas(op, schema=FRAME_SCHEMA))
