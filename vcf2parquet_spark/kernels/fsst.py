@@ -197,7 +197,9 @@ def _parse(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     # tail), per-wave fixed numpy overhead dominates; switch those
     # stragglers to one full-slice match + pointer-doubling walk each —
     # the identical greedy parse, minus hundreds of near-empty waves.
-    tail_cut = max(32, len(pos) >> 4)
+    # Capped at 512: the slice path is a per-string python loop, so for
+    # huge chunks the waves keep running until the tail is small.
+    tail_cut = max(32, min(len(pos) >> 4, 512))
     while len(pos) > tail_cut and w < WAVE_CAP:
         rem = ends_s[sid] - pos
         k8 = key8[pos] if key8 is not None else _keys_at(padded, pos)
@@ -282,8 +284,9 @@ def _walk(step: np.ndarray, starts: np.ndarray, ends: np.ndarray
     waves: list[tuple[np.ndarray, np.ndarray]] = []
     w = 0
     # same tail switch as _parse: drained frontiers cost more in per-wave
-    # overhead than one pointer-doubling walk per straggler
-    tail_cut = max(32, len(active_pos) >> 4)
+    # overhead than one pointer-doubling walk per straggler (cap: the
+    # walk is per-string python)
+    tail_cut = max(32, min(len(active_pos) >> 4, 512))
     while len(active_pos) > tail_cut and w < WAVE_CAP:
         waves.append((active_pos, active_sid))
         counts[active_sid] += 1
