@@ -125,3 +125,18 @@ def test_encode_shuffle_has_single_combined_sort(spark, corpus_path):
     s = _plan(q, "simple")
     assert s.count("+- Sort") == 1, s
     assert s.count("Exchange hashpartitioning") == 1, s
+
+
+def test_multimodal_ops_are_narrow_maps(spark):
+    """Feature extraction / resize / frame sampling must be shuffle-free
+    narrow maps (mapInPandas) — memory bounded by Arrow batch size."""
+    from vcf2parquet_spark.functions.multimodal import (
+        extract_features, make_media_df, resize_media, sample_frames)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = make_media_df(spark, docs, payload_col="text")
+    for q in (extract_features(media, dim=4),
+              resize_media(media, width=4, height=4),
+              sample_frames(media, every_n=2, frame_bytes=64)):
+        s = _plan(q, "simple")
+        assert "Exchange" not in s, s
+        assert "MapInPandas" in s, s
