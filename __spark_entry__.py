@@ -88,6 +88,26 @@ def q_array_slice(spark, sf_dir):
          .cast("array<double>").alias("pair"))
 
 
+# §2 op 8: genotype-index projection — the reference's G-cardinality
+# rule (name2data.rs:130-152): if len == n(n+1)/2 keep indices
+# [0, (a^2+3a+2)/2, (a^2+5a+4)/2] for alt index a, else fall back.
+# Exercised here with the embeddings table: len=64, a = label (0..9).
+def q_g_projection(spark, sf_dir):
+    df = _doc(spark, sf_dir, "embeddings")
+    a = F.col("label")
+    i1 = ((a * a + 3 * a + 2) / 2).cast("int")
+    i2 = ((a * a + 5 * a + 4) / 2).cast("int")
+    n = F.size("embedding")
+    triangular = (n * (n + 1) / 2) % 1 == 0   # always true; mirrors shape
+    proj = F.when(
+        (i2 < n) & triangular,
+        F.array(F.element_at("embedding", 1),
+                F.element_at("embedding", i1 + 1),
+                F.element_at("embedding", i2 + 1)).cast("array<double>")
+    ).otherwise(F.array().cast("array<double>"))   # missing -> empty list
+    return df.select("vec_id", proj.alias("g_proj"))
+
+
 # §2 ops 10+11: flag widening + missing-value defaulting (coalesce)
 def q_flag_defaulting(spark, sf_dir):
     df = _doc(spark, sf_dir)
@@ -333,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_tokens": q_explode_tokens,
         "element_projection": q_element_projection,
         "array_slice": q_array_slice,
+        "g_projection": q_g_projection,
         "flag_defaulting": q_flag_defaulting,
         "token_recode": q_token_recode,
         "batching": q_batching,
@@ -424,6 +445,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    [CAST(embedding[1] AS DOUBLE),
                     CAST(embedding[label + 2] AS DOUBLE)] AS pair
+            FROM embeddings
+        """,
+        "g_projection": """
+            SELECT vec_id,
+                   CASE WHEN CAST((label*label + 5*label + 4) / 2 AS INT)
+                             < len(embedding)
+                        THEN [CAST(embedding[1] AS DOUBLE),
+                              CAST(embedding[
+                                CAST((label*label + 3*label + 2) / 2 AS INT)
+                                + 1] AS DOUBLE),
+                              CAST(embedding[
+                                CAST((label*label + 5*label + 4) / 2 AS INT)
+                                + 1] AS DOUBLE)]
+                        ELSE CAST([] AS DOUBLE[]) END AS g_proj
             FROM embeddings
         """,
         "flag_defaulting": """
