@@ -169,3 +169,103 @@ def test_snapshot_log_and_time_travel(spark, corpus, tmp_path):
     from vcf2parquet_spark.errors import StorageError
     with pytest.raises(StorageError):
         decode(spark, out, snapshot_id=99)
+
+
+def test_manifest_pruned_decode(spark, tmp_path):
+    """Iceberg-style min/max pruning over OUR manifests: a repo
+    predicate must skip every partition whose bounds exclude it, and
+    the pruned decode must equal the post-hoc filter of a full decode."""
+    from pyspark.sql import functions as F
+    from vcf2parquet_spark.decode import plan_decode_parts
+
+    rows = [(f"org{i}/r", f"src/f{j}.py", f"{i:040x}", "py",
+             f"def f{i}_{j}(): pass")
+            for i in range(3) for j in range(400)]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    out = str(tmp_path / "blocks")
+    encode(spark, df, out, target_rows=300)   # each repo hot -> salted
+
+    all_parts = plan_decode_parts(out)
+    pruned = plan_decode_parts(out, [("repo", "==", "org1/r")])
+    assert set(pruned) < set(all_parts)
+    # every surviving partition really contains org1/r only
+    mans = tbl.committed_parts(out)
+    for pid in pruned:
+        prof = mans[pid]["profiles"]["repo"]
+        assert prof["min"] <= "org1/r" <= prof["max"]
+
+    d = decode(spark, out, filters=[("repo", "==", "org1/r")])
+    full = decode(spark, out).filter(F.col("repo") == "org1/r")
+    assert d.exceptAll(full).count() == 0
+    assert full.exceptAll(d).count() == 0
+    assert d.count() == 400
+
+    # range predicate
+    rng = decode(spark, out, filters=[("repo", "between",
+                                       ("org0/r", "org1/z"))])
+    assert rng.count() == 800
+
+    # unpruneable column (content bounds not recorded) -> row-level only
+    c = decode(spark, out,
+               filters=[("content", "==", "def f2_7(): pass")])
+    assert c.count() == 1
+
+    # predicate nothing can match -> empty frame, schema intact
+    z = decode(spark, out, filters=[("repo", "==", "zzz/nothing")])
+    assert z.count() == 0
+    assert z.columns == decode(spark, out).columns
+
+
+def test_compaction_and_expiry(spark, tmp_path):
+    """Small streaming-style appends -> compact rewrites them into one
+    full partition (live set shrinks, rows identical, time travel to
+    pre-compaction snapshots intact) -> expire_snapshots reclaims the
+    superseded files."""
+    from pyspark.sql import functions as F
+    from vcf2parquet_spark.maintenance import compact
+
+    out = str(tmp_path / "blocks")
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string")
+    batches = []
+    for b in range(3):
+        rows = [(f"org{b}/r", f"f{j}.py", f"{b:040x}", "py",
+                 f"x{b}_{j} = {j}") for j in range(200)]
+        batches.append(spark.createDataFrame(rows, ddl))
+        encode(spark, batches[-1], out, target_rows=1_000,
+               part_id_offset=b * 1_000)
+
+    live_before = tbl.live_parts(out)
+    assert len(live_before) == 3
+    res = compact(spark, out, target_rows=1_000, min_fill=0.5)
+    assert res["status"] == "committed"
+    live_after = tbl.live_parts(out)
+    assert len(live_after) == 1
+    assert sum(m["n_rows"] for m in live_after.values()) == 600
+
+    # full content preserved (multiset equality via sha projections)
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    got = decode(spark, out)
+    assert got.count() == 600
+    a = union.select("repo", "path", F.sha2("content", 256).alias("s"))
+    bb = got.select("repo", "path", F.sha2("content", 256).alias("s"))
+    assert a.exceptAll(bb).count() == 0 and bb.exceptAll(a).count() == 0
+
+    # time travel: pre-compaction snapshot still reads the old layout
+    snaps = tbl.snapshots(out)
+    assert snaps[-1]["operation"] == "compact"
+    assert decode(spark, out, snapshot_id=0).count() == 200
+
+    # idempotent: nothing left to merge
+    assert compact(spark, out, target_rows=1_000)["status"] == "noop"
+
+    # expiry: only the compact snapshot's files survive
+    rep = tbl.expire_snapshots(out, keep_last=1)
+    assert set(rep["removed_parts"]) == set(live_before)
+    assert decode(spark, out).count() == 600
+    assert len(tbl.snapshots(out)) == 1
+    from vcf2parquet_spark.errors import StorageError
+    with pytest.raises(StorageError):
+        decode(spark, out, snapshot_id=0)

@@ -15,6 +15,9 @@ Ours (``python -m vcf2parquet_spark ...``):
     decode  -o OUT --to PARQUET_DIR [--snapshot-id K]   # K = time travel
     verify  -i CORPUS_PARQUET -o OUT
     history -o OUT                                  # snapshot log (lineage)
+    compact -o OUT [--target-rows N]        # small-file rewrite (Iceberg
+                                            #   rewrite_data_files analogue)
+    expire  -o OUT [--keep-last K]          # reclaim superseded files
     corpus  --rows N --to PARQUET_DIR [--seed 42]   # deterministic test corpus
 
 Defaults mirror the reference where meaningful: batch 100_000
@@ -71,6 +74,16 @@ def main(argv: list[str] | None = None) -> int:
     ph = sub.add_parser("history", help="print the snapshot log")
     ph.add_argument("-o", "--output", required=True, help="blocks table dir")
 
+    pk = sub.add_parser("compact",
+                        help="rewrite undersized partitions (small-file fix)")
+    pk.add_argument("-o", "--output", required=True)
+    pk.add_argument("--target-rows", type=int, default=250_000)
+
+    px = sub.add_parser("expire",
+                        help="drop old snapshots + reclaim unreferenced files")
+    px.add_argument("-o", "--output", required=True)
+    px.add_argument("--keep-last", type=int, default=1)
+
     pv = sub.add_parser("verify", help="sha256 round-trip check")
     pv.add_argument("-i", "--input", required=True)
     pv.add_argument("-o", "--output", required=True)
@@ -85,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "history":   # pure metadata read — no Spark needed
         from vcf2parquet_spark import table as tbl_
         print(json.dumps(tbl_.snapshots(args.output), indent=1))
+        return 0
+    if args.cmd == "expire":    # pure metadata/file op — no Spark needed
+        from vcf2parquet_spark import table as tbl_
+        print(json.dumps(tbl_.expire_snapshots(args.output,
+                                               keep_last=args.keep_last)))
         return 0
 
     from pyspark.sql import SparkSession
@@ -118,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
             res = verify(spark, spark.read.parquet(args.input), args.output)
             print(json.dumps(res))
             return 0 if res["ok"] else 1
+        elif args.cmd == "compact":
+            from vcf2parquet_spark.maintenance import compact
+            print(json.dumps(compact(spark, args.output,
+                                     target_rows=args.target_rows)))
         elif args.cmd == "corpus":
             from vcf2parquet_spark.corpus import synth_corpus
             synth_corpus(spark, args.rows, seed=args.seed) \

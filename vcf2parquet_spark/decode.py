@@ -31,21 +31,71 @@ from vcf2parquet_spark.kernels import decode_column
 _SPARK_TYPES = {"string": "string", "int64": "long"}
 
 
+def _part_may_match(manifest: dict, col: str, op: str, value) -> bool:
+    """Iceberg-style bounds check: can this partition contain rows
+    matching ``col op value``?  Missing bounds -> conservatively True."""
+    prof = manifest.get("profiles", {}).get(col, {})
+    lo, hi = prof.get("min"), prof.get("max")
+    if lo is None or hi is None:
+        return True
+    if op == "==":
+        return lo <= value <= hi
+    if op == "<=":
+        return lo <= value
+    if op == "<":
+        return lo < value
+    if op == ">=":
+        return hi >= value
+    if op == ">":
+        return hi > value
+    if op == "between":
+        vlo, vhi = value
+        return not (hi < vlo or lo > vhi)
+    raise ValueError(f"unsupported pruning op: {op}")
+
+
+def plan_decode_parts(output: str, filters: list[tuple] | None = None,
+                      snapshot_id: int | None = None) -> list[int]:
+    """Partition ids that may contain matching rows — the manifest-level
+    pruning plan (the engine's analogue of Parquet/Iceberg min-max
+    pruning, over OUR manifests: at 100 TB this is what turns a
+    full-table decode into a few-partition read)."""
+    manifests = (tbl.live_parts(output) if snapshot_id is None
+                 else tbl.committed_parts(output))
+    if snapshot_id is not None:
+        keep = {s["snapshot_id"]: set(s["part_ids"])
+                for s in tbl.snapshots(output)}[snapshot_id]
+        manifests = {p: m for p, m in manifests.items() if p in keep}
+    out = []
+    for pid, m in sorted(manifests.items()):
+        if all(_part_may_match(m, c, op, v) for c, op, v in (filters or [])):
+            out.append(pid)
+    return out
+
+
 def decode(spark: SparkSession, output: str,
            columns: list[str] | None = None,
            include_derived: bool = False,
-           snapshot_id: int | None = None) -> DataFrame:
+           snapshot_id: int | None = None,
+           filters: list[tuple] | None = None,
+           part_ids: list[int] | None = None) -> DataFrame:
     """Reconstruct the encoded table as a DataFrame (lazy).
 
     ``snapshot_id`` reads the table AS OF that snapshot (time travel):
     only partitions committed at that point are scanned — the Iceberg
     ``VERSION AS OF`` analogue over the snapshot log in ``table.py``.
+
+    ``filters`` — list of ``(column, op, value)`` with op in
+    ``== <= < >= > between`` — prunes whole partitions via the
+    manifest min/max bounds (see :func:`plan_decode_parts`) and then
+    applies the exact row-level predicate.
     """
     import os
 
     from vcf2parquet_spark.errors import StorageError
 
-    manifests = tbl.committed_parts(output)
+    manifests = (tbl.live_parts(output) if snapshot_id is None
+                 else tbl.committed_parts(output))
     if snapshot_id is not None:
         snaps = {s["snapshot_id"]: s for s in tbl.snapshots(output)}
         if snapshot_id not in snaps:
@@ -54,6 +104,20 @@ def decode(spark: SparkSession, output: str,
                 f"have {sorted(snaps)}")
         keep = set(snaps[snapshot_id]["part_ids"])
         manifests = {pid: m for pid, m in manifests.items() if pid in keep}
+    if part_ids is not None:
+        manifests = {pid: m for pid, m in manifests.items()
+                     if pid in set(part_ids)}
+    if filters:
+        live = set(plan_decode_parts(output, filters, snapshot_id))
+        manifests = {pid: m for pid, m in manifests.items() if pid in live}
+        if not manifests:   # nothing can match: empty DataFrame, right schema
+            meta0 = tbl.read_table_meta(output)
+            some = next(iter(tbl.committed_parts(output).values()))
+            cols0 = columns or meta0["schema_columns"]
+            ddl0 = ", ".join(
+                f"`{c}` {_SPARK_TYPES[some['profiles'][c]['type']]}"
+                for c in cols0)
+            return spark.createDataFrame([], ddl0)
     if not manifests:
         raise StorageError(f"no committed partitions under {output}")
     missing = [pid for pid in manifests
@@ -90,10 +154,27 @@ def decode(spark: SparkSession, output: str,
             by_col[name] = decode_column(d, json.loads(m))
         return pa.table({c: by_col[c] for c in cols})
 
-    return (blocks
-            .repartition("part_id", "block_idx")
-            .groupBy("part_id", "block_idx")
-            .applyInArrow(_decode_group, schema=ddl))
+    out = (blocks
+           .repartition("part_id", "block_idx")
+           .groupBy("part_id", "block_idx")
+           .applyInArrow(_decode_group, schema=ddl))
+    # manifest pruning is partition-granular; finish with the exact
+    # row-level predicate (Catalyst expression, whole-stage codegen)
+    for c, op, v in (filters or []):
+        if op == "between":
+            out = out.filter((F.col(c) >= v[0]) & (F.col(c) <= v[1]))
+        else:
+            out = out.filter(_OPS[op](F.col(c), v))
+    return out
+
+
+_OPS = {
+    "==": lambda c, v: c == v,
+    "<=": lambda c, v: c <= v,
+    "<": lambda c, v: c < v,
+    ">=": lambda c, v: c >= v,
+    ">": lambda c, v: c > v,
+}
 
 
 def verify(spark: SparkSession, df: DataFrame, output: str) -> dict:

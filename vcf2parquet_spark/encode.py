@@ -78,6 +78,8 @@ class EncodeOptions:
     # (part_id, *sort_columns) there costs one JVM sort total and lets
     # the UDF skip its pyarrow sort (a full table copy) entirely
     presort_in_shuffle: bool = True
+    snapshot: bool = True     # False: skip the snapshot commit (used by
+                              # compaction, which commits its own swap)
     part_id_offset: int = 0   # namespace for incremental/streaming appends
     parquet_version: str = "2.6"  # blocks container pages (ref: cli.rs:139-145)
 
@@ -304,19 +306,31 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         .applyInArrow(_encode_group, schema=SUMMARY_SCHEMA)
         .collect())
 
-    # 5. table-level metadata + snapshot-log entry (time travel / lineage)
-    all_manifests = tbl.committed_parts(output)
-    snap = tbl.commit_snapshot(output, operation="encode",
-                               wall_time=time.time())
+    # 5. table-level metadata + snapshot-log entry (time travel / lineage);
+    # totals come from the snapshot's LIVE set (not every manifest on
+    # disk — compaction leaves superseded partitions behind for time
+    # travel until expire_snapshots reclaims them)
+    if opts.snapshot:
+        snap = tbl.commit_snapshot(output, operation="encode",
+                                   wall_time=time.time())
+    else:   # caller commits the snapshot; summarize without writing one
+        live = tbl.live_parts(output)
+        snap = {"snapshot_id": None,
+                "summary": {"n_partitions": len(live),
+                            "n_rows": sum(m["n_rows"] for m in live.values()),
+                            "raw_bytes": sum(m["raw_bytes"]
+                                             for m in live.values()),
+                            "enc_bytes": sum(m["enc_bytes"]
+                                             for m in live.values())}}
     job = {
         "current_snapshot_id": snap["snapshot_id"],
         "format": "vcf2parquet_spark.blocks.v1",
         "schema_columns": schema_columns,
         "n_partitions": n_parts,
-        "n_committed": len(all_manifests),
-        "n_rows": sum(m["n_rows"] for m in all_manifests.values()),
-        "raw_bytes": sum(m["raw_bytes"] for m in all_manifests.values()),
-        "enc_bytes": sum(m["enc_bytes"] for m in all_manifests.values()),
+        "n_committed": snap["summary"]["n_partitions"],
+        "n_rows": snap["summary"]["n_rows"],
+        "raw_bytes": snap["summary"]["raw_bytes"],
+        "enc_bytes": snap["summary"]["enc_bytes"],
         "batch_size": opts.batch_size,
         "target_rows": opts.target_rows,
         "encoded_this_run": [s["part_id"] for s in summaries],

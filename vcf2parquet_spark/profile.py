@@ -24,6 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 ENTROPY_SAMPLE_BYTES = 1 << 16
+PRUNE_MAX_LEN = 256   # record string min/max bounds only below this length
 
 
 def _run_stats(codes: np.ndarray) -> tuple[int, float]:
@@ -80,6 +81,13 @@ def profile_arrow(arr: pa.Array, name: str = "") -> dict:
             "raw_bytes": int(pc.sum(raw_bytes).as_py() or 0),
             "entropy": _byte_entropy(data),
         })
+        # value bounds for manifest-level partition pruning (Iceberg-
+        # style lower/upper bounds).  Only for short-string columns:
+        # content-like columns would bloat every manifest for bounds
+        # nobody filters on.
+        if len(values) and stats["max_len"] <= PRUNE_MAX_LEN:
+            stats["min"] = pc.min(values).as_py()
+            stats["max"] = pc.max(values).as_py()
     elif pa.types.is_integer(arr.type):
         stats["type"] = "int64"
         v = values.cast(pa.int64()).to_numpy(zero_copy_only=False)

@@ -156,9 +156,29 @@ def snapshots(output: str) -> list[dict]:
     return out
 
 
-def commit_snapshot(output: str, operation: str, wall_time: float | None = None
-                    ) -> dict:
-    """Append a snapshot capturing the current committed-partition set.
+def live_parts(output: str) -> dict[int, dict]:
+    """part_id -> manifest for the CURRENT live set: the latest
+    snapshot's partitions (compaction rewrites shrink this below the
+    full committed set) plus any committed-but-not-yet-snapshotted
+    partitions (an in-flight or crashed run — still readable).
+    No snapshots at all -> every committed partition."""
+    manifests = committed_parts(output)
+    snaps = snapshots(output)
+    if not snaps:
+        return manifests
+    ever = set()
+    for s in snaps:
+        ever.update(s["part_ids"])
+    live = set(snaps[-1]["part_ids"]) | (set(manifests) - ever)
+    return {p: m for p, m in manifests.items() if p in live}
+
+
+def commit_snapshot(output: str, operation: str,
+                    wall_time: float | None = None,
+                    part_ids: list[int] | None = None) -> dict:
+    """Append a snapshot.  ``part_ids=None`` captures the default live
+    set (previous live ∪ newly committed partitions); compaction passes
+    an explicit set that drops the rewritten partitions.
 
     Written via the same tmp+rename primitive; the table file's
     ``current_snapshot_id`` is updated after, so a crash between the two
@@ -167,22 +187,62 @@ def commit_snapshot(output: str, operation: str, wall_time: float | None = None
     """
     manifests = committed_parts(output)
     prev = snapshots(output)
-    if prev and prev[-1]["part_ids"] == sorted(manifests):
+    if part_ids is None:
+        part_ids = sorted(live_parts(output))
+    else:
+        part_ids = sorted(set(part_ids))
+    sel = {p: manifests[p] for p in part_ids}   # KeyError = caller bug
+    if prev and prev[-1]["part_ids"] == part_ids:
         return prev[-1]   # no-op (e.g. fully-resumed run): nothing changed
     sid = prev[-1]["snapshot_id"] + 1 if prev else 0
     snap = {
         "snapshot_id": sid,
         "parent_id": prev[-1]["snapshot_id"] if prev else None,
         "operation": operation,
-        "part_ids": sorted(manifests),
+        "part_ids": part_ids,
         "summary": {
-            "n_partitions": len(manifests),
-            "n_rows": sum(m["n_rows"] for m in manifests.values()),
-            "raw_bytes": sum(m["raw_bytes"] for m in manifests.values()),
-            "enc_bytes": sum(m["enc_bytes"] for m in manifests.values()),
+            "n_partitions": len(sel),
+            "n_rows": sum(m["n_rows"] for m in sel.values()),
+            "raw_bytes": sum(m["raw_bytes"] for m in sel.values()),
+            "enc_bytes": sum(m["enc_bytes"] for m in sel.values()),
         },
         "metrics": {"wall_time": wall_time},
     }
     atomic_write_bytes(snapshot_path(output, sid),
                        json.dumps(snap, sort_keys=True, indent=1).encode())
     return snap
+
+
+def expire_snapshots(output: str, keep_last: int = 1) -> dict:
+    """Drop all but the last ``keep_last`` snapshots and DELETE data/
+    manifest files no snapshot references anymore (Iceberg
+    ``expire_snapshots`` analogue — reclaims compacted-away storage;
+    time travel remains available within the kept window)."""
+    import os as _os
+
+    snaps = snapshots(output)
+    if not snaps:   # nothing to expire; never delete an unsnapshotted table
+        return {"expired_snapshots": [], "removed_parts": [],
+                "kept_snapshots": []}
+    keep = snaps[-max(keep_last, 1):]   # always keep at least the latest
+    drop = snaps[: len(snaps) - len(keep)]
+    referenced: set[int] = set()
+    for s in keep:
+        referenced.update(s["part_ids"])
+    ever: set[int] = set()
+    for s in snaps:
+        ever.update(s["part_ids"])
+    manifests = committed_parts(output)
+    # never delete committed-but-unsnapshotted partitions: they belong
+    # to an in-flight (or crashed, resumable) run
+    referenced |= set(manifests) - ever
+    removed_parts = [p for p in sorted(manifests) if p not in referenced]
+    for p in removed_parts:
+        for path in (data_path(output, p), manifest_path(output, p)):
+            if _os.path.exists(path):
+                _os.remove(path)
+    for s in drop:
+        _os.remove(snapshot_path(output, s["snapshot_id"]))
+    return {"expired_snapshots": [s["snapshot_id"] for s in drop],
+            "removed_parts": removed_parts,
+            "kept_snapshots": [s["snapshot_id"] for s in keep]}
