@@ -118,3 +118,26 @@ def test_cli_history_no_spark(tmp_path, capsys, monkeypatch):
     assert [s["snapshot_id"] for s in snaps] == [0]
     assert snaps[0]["part_ids"] == [0]
     assert snaps[0]["summary"]["n_rows"] == 5
+
+
+def test_streaming_then_compact(spark, corpus_parquet, tmp_path):
+    """Micro-batch appends create small partitions; compact folds them
+    into full-size units without changing the row multiset."""
+    from pyspark.sql import functions as F
+    from vcf2parquet_spark.decode import decode, verify
+    from vcf2parquet_spark.maintenance import compact
+    from vcf2parquet_spark.streaming import encode_stream
+
+    out = str(tmp_path / "blocks")
+    q = encode_stream(spark, corpus_parquet, out,
+                      checkpoint=str(tmp_path / "ckpt"),
+                      target_rows=500, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+
+    df = spark.read.parquet(corpus_parquet)
+    n_live_before = len(tbl.live_parts(out))
+    res = compact(spark, out, target_rows=df.count() + 1)
+    assert res["status"] == "committed"
+    assert len(tbl.live_parts(out)) < n_live_before
+    assert verify(spark, df, out)["ok"]
