@@ -52,8 +52,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     toks = _tokens(F.col(text_col))
     idx = F.sequence(F.lit(0),
                      F.greatest(F.size(toks) - shingle, F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.array_join(
-        F.slice(toks, i + 1, shingle), " "))
+    # per-row dedup before the explode: min() over duplicate shingles is
+    # identical, so dropping them row-side shrinks the exploded volume
+    # (and the k md5s per row) for free — no extra shuffle
+    shingles = F.array_distinct(F.transform(idx, lambda i: F.array_join(
+        F.slice(toks, i + 1, shingle), " ")))
     exploded = (df.select(key_col, F.explode(shingles).alias("shingle")))
     aggs = [F.min(F.md5(F.concat(F.lit(str(i) + "|"),
                                  F.col("shingle")))).alias(f"sig_{i}")
