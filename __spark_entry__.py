@@ -78,14 +78,16 @@ def q_element_projection(spark, sf_dir):
          .alias("label_dim"))
 
 
-# §2 op 7: array-slice projection (keep [first, indexed] pair)
+# §2 op 7: array-slice projection (keep [first, indexed] pair).  The
+# slice is built as a real array column, then posexploded to scalar
+# (pos, val) rows so the driver's canonicalizer can sort the output
+# (list cells are unsortable in pandas — CORRECTNESS_r01).
 def q_array_slice(spark, sf_dir):
     df = _doc(spark, sf_dir, "embeddings")
-    return df.select(
-        "vec_id",
-        F.array(F.element_at("embedding", 1),
-                F.element_at("embedding", F.col("label") + 2))
-         .cast("array<double>").alias("pair"))
+    pair = F.array(F.element_at("embedding", 1),
+                   F.element_at("embedding", F.col("label") + 2)) \
+            .cast("array<double>")
+    return df.select("vec_id", F.posexplode(pair).alias("pos", "val"))
 
 
 # §2 op 8: genotype-index projection — the reference's G-cardinality
@@ -105,7 +107,9 @@ def q_g_projection(spark, sf_dir):
                 F.element_at("embedding", i1 + 1),
                 F.element_at("embedding", i2 + 1)).cast("array<double>")
     ).otherwise(F.array().cast("array<double>"))   # missing -> empty list
-    return df.select("vec_id", proj.alias("g_proj"))
+    # posexplode -> scalar rows (empty list = zero rows), sortable by the
+    # driver's canonicalizer
+    return df.select("vec_id", F.posexplode(proj).alias("pos", "val"))
 
 
 # §2 ops 10+11: flag widening + missing-value defaulting (coalesce)
@@ -309,11 +313,21 @@ def q_encode_roundtrip(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Feature-extraction pipeline, projected to scalar rows: the
+    float32 histogram feature is de-normalized back to its exact
+    integer byte count (round(f * n_bytes)) so the driver's value-hash
+    compares integers, not float32-vs-float64 artifacts."""
     from vcf2parquet_spark.functions.multimodal import (
         extract_features, make_media_df)
     df = _doc(spark, sf_dir).filter(F.col("doc_id") < 50)
     media = make_media_df(spark, df, payload_col="text")
-    return extract_features(media, dim=8)
+    feats = extract_features(media, dim=8)
+    return (feats
+            .select("media_id", "n_bytes", "checksum",
+                    F.posexplode("feature").alias("dim_idx", "f"))
+            .select("media_id", "n_bytes", "checksum", "dim_idx",
+                    F.round(F.col("f") * F.col("n_bytes")).cast("long")
+                     .alias("n_hits")))
 
 
 def q_media_resize(spark, sf_dir):
@@ -442,24 +456,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "array_slice": """
-            SELECT vec_id,
-                   [CAST(embedding[1] AS DOUBLE),
-                    CAST(embedding[label + 2] AS DOUBLE)] AS pair
-            FROM embeddings
+            SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                   CASE WHEN i = 1 THEN CAST(embedding[1] AS DOUBLE)
+                        ELSE CAST(embedding[label + 2] AS DOUBLE) END AS val
+            FROM embeddings,
+                 (SELECT unnest(generate_series(1, 2)) AS i) g
         """,
         "g_projection": """
-            SELECT vec_id,
-                   CASE WHEN CAST((label*label + 5*label + 4) / 2 AS INT)
-                             < len(embedding)
-                        THEN [CAST(embedding[1] AS DOUBLE),
-                              CAST(embedding[
-                                CAST((label*label + 3*label + 2) / 2 AS INT)
-                                + 1] AS DOUBLE),
-                              CAST(embedding[
-                                CAST((label*label + 5*label + 4) / 2 AS INT)
-                                + 1] AS DOUBLE)]
-                        ELSE CAST([] AS DOUBLE[]) END AS g_proj
-            FROM embeddings
+            SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+                   CAST(embedding[
+                     CASE WHEN i = 1 THEN 1
+                          WHEN i = 2 THEN
+                            CAST((label*label + 3*label + 2) / 2 AS INT) + 1
+                          ELSE
+                            CAST((label*label + 5*label + 4) / 2 AS INT) + 1
+                     END] AS DOUBLE) AS val
+            FROM embeddings,
+                 (SELECT unnest(generate_series(1, 3)) AS i) g
+            WHERE CAST((label*label + 5*label + 4) / 2 AS INT)
+                  < len(embedding)
         """,
         "flag_defaulting": """
             SELECT doc_id,
@@ -720,9 +735,48 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 256 END AS BIGINT) AS sampled_bytes
             FROM c
         """,
-        # encode_roundtrip / media_features / media_resize: vectorized
-        # Arrow/binary kernel paths, not SQL-expressible -> rows-only
-        # check (omitted on purpose)
+        # media_features / media_resize: the testdata text is pure ASCII
+        # (verified), so the byte-level fake decode/resize kernels are
+        # mirrored exactly with ord()/substr() arithmetic in DuckDB.
+        "media_features": """
+            WITH hits AS (
+              SELECT doc_id AS media_id,
+                     ord(substr(text, i, 1)) % 8 AS dim_idx,
+                     count(*) AS n_hits
+              FROM documents,
+                   (SELECT unnest(generate_series(1, 2000)) AS i) g
+              WHERE doc_id < 50 AND i <= length(text)
+              GROUP BY 1, 2
+            )
+            SELECT d.doc_id AS media_id,
+                   CAST(length(d.text) AS BIGINT) AS n_bytes,
+                   sha256(d.text) AS checksum,
+                   CAST(k AS INT) AS dim_idx,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+            FROM documents d
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) dims
+            LEFT JOIN hits h ON h.media_id = d.doc_id AND h.dim_idx = k
+            WHERE d.doc_id < 50
+        """,
+        "media_resize": """
+            WITH s AS (
+              SELECT doc_id AS media_id,
+                     string_agg(
+                       substr(text, (k * length(text)) // 64 + 1, 1),
+                       '' ORDER BY k) AS sampled
+              FROM documents,
+                   (SELECT unnest(generate_series(0, 63)) AS k) g
+              WHERE doc_id < 50
+              GROUP BY doc_id
+            )
+            SELECT media_id, CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(64 AS BIGINT) AS n_bytes,
+                   sha256(sampled) AS checksum
+            FROM s
+        """,
+        # encode_roundtrip: vectorized Arrow codec-kernel path, not
+        # SQL-expressible -> rows-only check (omitted on purpose)
     } | {"ann_buckets": _ann_buckets_sql(),
          "embedding_near_dups": _near_dups_sql()}
 
