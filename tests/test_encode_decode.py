@@ -269,3 +269,70 @@ def test_compaction_and_expiry(spark, tmp_path):
     from vcf2parquet_spark.errors import StorageError
     with pytest.raises(StorageError):
         decode(spark, out, snapshot_id=0)
+
+
+def test_compaction_crash_safety(spark, tmp_path):
+    """Compaction must never commit an intermediate snapshot holding both
+    the small partitions and their rewritten copies; a crash between the
+    inner re-encode and the swap leaves the live set unchanged (no
+    dangling-part adoption of pending rewrites), and a compact re-run
+    converges without duplicating rows."""
+    from vcf2parquet_spark.maintenance import compact
+
+    out = str(tmp_path / "blocks")
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string")
+    for b in range(3):
+        rows = [(f"org{b}/r", f"f{j}.py", f"{b:040x}", "py",
+                 f"x{b}_{j} = {j}") for j in range(100)]
+        encode(spark, spark.createDataFrame(rows, ddl), out,
+               target_rows=1_000, part_id_offset=b * 1_000)
+    n_snaps_before = len(tbl.snapshots(out))
+    small = sorted(tbl.live_parts(out))
+
+    # simulate a compaction that crashed right before its snapshot
+    # commit: the same inner re-encode compact() performs
+    df_small = decode(spark, out, part_ids=small)
+    offset = max(tbl.committed_parts(out)) + 1
+    encode(spark, df_small, out,
+           EncodeOptions(target_rows=1_000, part_id_offset=offset,
+                         resume=False, snapshot=False,
+                         manifest_tags={"pending_rewrite": True}))
+
+    # no snapshot was committed, and readers still see exactly the
+    # previous live set — never the duplicated union
+    assert len(tbl.snapshots(out)) == n_snaps_before
+    assert sorted(tbl.live_parts(out)) == small
+    assert decode(spark, out).count() == 300
+
+    # the re-run reclaims the crashed rewrite and converges
+    res = compact(spark, out, target_rows=1_000)
+    assert res["status"] == "committed"
+    assert res["abandoned_parts"], "crashed pending rewrite not reclaimed"
+    assert decode(spark, out).count() == 300
+
+    # every snapshot in the log reads back unduplicated rows
+    for s in tbl.snapshots(out):
+        n = decode(spark, out, snapshot_id=s["snapshot_id"]).count()
+        assert n == 100 * min(s["snapshot_id"] + 1, 3), s
+
+
+def test_presort_digest_stable_with_nulls(spark, tmp_path):
+    """Null sort-column values: the shuffle presort (asc_nulls_last) and
+    the in-UDF pyarrow sort (nulls at end) must place them identically,
+    so manifests carry the same content digest either way."""
+    rows = [("org/r", f"f{j}.py", f"{j:040x}", "py",
+             None if j % 7 == 0 else f"v{j} = {j}") for j in range(200)]
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string")
+    df = spark.createDataFrame(rows, ddl)
+    digests = {}
+    for presort in (True, False):
+        out = str(tmp_path / f"blocks_{presort}")
+        encode(spark, df, out,
+               EncodeOptions(target_rows=1_000, presort_in_shuffle=presort,
+                             sort_columns=("repo", "path", "content")))
+        digests[presort] = {p: m["content_sha256"]
+                            for p, m in tbl.committed_parts(out).items()}
+    assert digests[True] == digests[False]
+    assert all(d for d in digests[True].values())

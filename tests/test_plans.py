@@ -140,3 +140,25 @@ def test_multimodal_ops_are_narrow_maps(spark):
         s = _plan(q, "simple")
         assert "Exchange" not in s, s
         assert "MapInPandas" in s, s
+
+
+def test_checkpoint_filters_are_joins_not_literal_isin(spark, corpus_path,
+                                                       tmp_path):
+    """Resume filtering must be a broadcast anti-join and the decode
+    scan an explicit committed-file list — never a literal In over
+    part ids (plan bloat + O(n)/row at 1e4-1e5 committed partitions)."""
+    from vcf2parquet_spark.decode import decode
+    from vcf2parquet_spark.encode import anti_join_committed, encode
+
+    out = str(tmp_path / "blocks")
+    df = spark.read.parquet(corpus_path)
+    encode(spark, df, out, target_rows=500)
+
+    wp = df.withColumn("part_id",
+                       F.pmod(F.xxhash64("path"), F.lit(10)).cast("int"))
+    s = _plan(anti_join_committed(spark, wp, {0, 1, 2}), "simple")
+    assert "LeftAnti" in s and "BroadcastHashJoin" in s, s
+    assert "part_id IN" not in s and "In(part_id" not in s, s
+
+    s = _plan(decode(spark, out), "simple")
+    assert "part_id IN" not in s and "In(part_id" not in s, s

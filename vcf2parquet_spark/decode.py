@@ -13,8 +13,8 @@ Mirrors ``encode.py`` in reverse (SURVEY.md §3.4 ``decode.py`` stage):
 
 ``verify`` proves the north-rule invariant — every ``content`` value
 sha256-identical to the input — with Spark-side ``sha2(content, 256)``
-projections compared via two anti-joins (``exceptAll`` both ways), so
-the full corpus never collects to the driver.
+group-counts full-outer-joined in a single action, so each side is
+scanned exactly once and the full corpus never collects to the driver.
 """
 
 from __future__ import annotations
@@ -60,11 +60,18 @@ def plan_decode_parts(output: str, filters: list[tuple] | None = None,
     pruning plan (the engine's analogue of Parquet/Iceberg min-max
     pruning, over OUR manifests: at 100 TB this is what turns a
     full-table decode into a few-partition read)."""
+    from vcf2parquet_spark.errors import StorageError
+
     manifests = (tbl.live_parts(output) if snapshot_id is None
                  else tbl.committed_parts(output))
     if snapshot_id is not None:
-        keep = {s["snapshot_id"]: set(s["part_ids"])
-                for s in tbl.snapshots(output)}[snapshot_id]
+        snaps = {s["snapshot_id"]: set(s["part_ids"])
+                 for s in tbl.snapshots(output)}
+        if snapshot_id not in snaps:
+            raise StorageError(
+                f"unknown snapshot {snapshot_id} under {output}; "
+                f"have {sorted(snaps)}")
+        keep = snaps[snapshot_id]
         manifests = {p: m for p, m in manifests.items() if p in keep}
     out = []
     for pid, m in sorted(manifests.items()):
@@ -112,8 +119,14 @@ def decode(spark: SparkSession, output: str,
         manifests = {pid: m for pid, m in manifests.items() if pid in live}
         if not manifests:   # nothing can match: empty DataFrame, right schema
             meta0 = tbl.read_table_meta(output)
-            some = next(iter(tbl.committed_parts(output).values()))
-            cols0 = columns or meta0["schema_columns"]
+            committed0 = tbl.committed_parts(output)
+            if not committed0:
+                raise StorageError(f"no committed partitions under {output}")
+            some = next(iter(committed0.values()))
+            # same column-selection rule as the non-empty path below
+            cols0 = columns or (
+                some["all_columns"] if include_derived
+                else meta0["schema_columns"])
             ddl0 = ", ".join(
                 f"`{c}` {_SPARK_TYPES[some['profiles'][c]['type']]}"
                 for c in cols0)
@@ -136,9 +149,14 @@ def decode(spark: SparkSession, output: str,
         for c in out_columns)
 
     committed_ids = sorted(manifests)
+    # read-committed by CONSTRUCTION: scan exactly the committed
+    # partitions' data files (the manifest is the file list, Iceberg-
+    # style).  No part_id isin filter — a literal In over 1e4-1e5
+    # committed ids would bloat the plan and cost O(n) per row; file-
+    # level pruning happens before Spark ever lists the directory.
     blocks = (
-        spark.read.parquet(f"{output}/{tbl.DATA_DIR}")
-        .filter(F.col("part_id").isin(committed_ids))   # read-committed
+        spark.read.parquet(*[tbl.data_path(output, p)
+                             for p in committed_ids])
         .filter(F.col("column").isin(list(out_columns)))
         .select("part_id", "block_idx", "column", "meta", "data"))
 
@@ -180,20 +198,33 @@ _OPS = {
 def verify(spark: SparkSession, df: DataFrame, output: str) -> dict:
     """North-rule invariant check: decoded content sha256 == input's.
 
-    Compares (key columns, sha2(content)) multisets both directions via
-    ``exceptAll``; returns counts — all three must be (n, 0, 0).
+    Single-pass multiset compare: each side is scanned exactly once into
+    per-(keys, sha) group counts, full-outer joined, and reduced to the
+    four counters in ONE Spark action (the exceptAll-both-ways version
+    decoded the table up to 4x).
     """
     decoded = decode(spark, output)
     cols = [c for c in df.columns if c != "content"]
 
-    def proj(d: DataFrame) -> DataFrame:
-        return d.select(*cols, F.sha2(F.col("content"), 256).alias("content_sha"))
+    def counted(d: DataFrame, side: str) -> DataFrame:
+        return (d.select(*cols,
+                         F.sha2(F.col("content"), 256).alias("content_sha"))
+                .groupBy(*cols, "content_sha")
+                .agg(F.count("*").alias(side)))
 
-    a, b = proj(df), proj(decoded)
-    missing = a.exceptAll(b).count()
-    extra = b.exceptAll(a).count()
-    n_in = df.count()
-    n_out = decoded.count()
-    return {"rows_in": n_in, "rows_out": n_out,
-            "missing": missing, "extra": extra,
-            "ok": (missing == 0 and extra == 0 and n_in == n_out)}
+    j = (counted(df, "n_a")
+         .join(counted(decoded, "n_b"), [*cols, "content_sha"], "full_outer")
+         .select(F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    r = j.agg(
+        F.coalesce(F.sum("n_a"), F.lit(0)).alias("rows_in"),
+        F.coalesce(F.sum("n_b"), F.lit(0)).alias("rows_out"),
+        F.coalesce(F.sum(F.greatest(F.col("n_a") - F.col("n_b"), F.lit(0))),
+                   F.lit(0)).alias("missing"),
+        F.coalesce(F.sum(F.greatest(F.col("n_b") - F.col("n_a"), F.lit(0))),
+                   F.lit(0)).alias("extra"),
+    ).collect()[0]
+    return {"rows_in": r["rows_in"], "rows_out": r["rows_out"],
+            "missing": r["missing"], "extra": r["extra"],
+            "ok": (r["missing"] == 0 and r["extra"] == 0
+                   and r["rows_in"] == r["rows_out"])}

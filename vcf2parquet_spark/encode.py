@@ -80,6 +80,10 @@ class EncodeOptions:
     presort_in_shuffle: bool = True
     snapshot: bool = True     # False: skip the snapshot commit (used by
                               # compaction, which commits its own swap)
+    manifest_tags: dict = field(default_factory=dict)  # extra manifest
+                              # fields (e.g. compaction's pending_rewrite
+                              # marker, which excludes the partition from
+                              # dangling-part adoption until the swap)
     part_id_offset: int = 0   # namespace for incremental/streaming appends
     parquet_version: str = "2.6"  # blocks container pages (ref: cli.rs:139-145)
 
@@ -122,6 +126,19 @@ def plan_partitions(counts: list[tuple[str, int]], target_rows: int,
     return plan, next_id
 
 
+def anti_join_committed(spark: SparkSession, with_part: DataFrame,
+                        committed: set[int]) -> DataFrame:
+    """Drop rows of already-committed partitions via a broadcast
+    left_anti join, NOT a literal ``isin``: a long-lived table has
+    1e4-1e5 committed partitions, and inlining them as expression
+    literals explodes the plan (and costs O(n) per row); the anti-join
+    against a small broadcast side is O(1) per row and keeps the plan
+    constant-size (SURVEY.md §2.12 prescription)."""
+    committed_df = spark.createDataFrame(
+        [(int(p),) for p in sorted(committed)], "part_id int")
+    return with_part.join(F.broadcast(committed_df), "part_id", "left_anti")
+
+
 def _derive_int_columns(t: pa.Table) -> pa.Table:
     """Derived integer columns -> exercises bit-pack / FOR (north rule)."""
     if "content" not in t.column_names:
@@ -158,8 +175,9 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
     """Encode one work unit (runs on an executor). Returns summary dict.
 
     ``already_sorted`` is set by :func:`encode` when the shuffle itself
-    ordered rows by ``sort_columns`` (UTF-8 byte order — identical to
-    pyarrow's string ordering, so block bytes are unchanged either way).
+    ordered rows by ``sort_columns`` (UTF-8 byte order with nulls LAST —
+    matching pyarrow ``pc.sort_indices``' defaults exactly, so block
+    bytes and the content digest are identical whichever path sorted).
     """
     t0 = time.time()
     sort_keys = [(c, "ascending") for c in opts.sort_columns
@@ -221,6 +239,7 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
                     "rows_per_s": n / seconds if seconds > 0 else None},
         "status": "committed",
     }
+    manifest.update(opts.manifest_tags)
     tbl.commit_manifest(output, part_id, manifest)
     return {"part_id": part_id, "n_rows": n, "raw_bytes": raw_total,
             "enc_bytes": enc_total, "n_blocks": n_blocks,
@@ -267,7 +286,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
               .otherwise(F.lit(0))).cast("int"))
         .drop("base_part_id", "fanout"))
     if committed:
-        with_part = with_part.filter(~F.col("part_id").isin(*committed))
+        with_part = anti_join_committed(spark, with_part, committed)
 
     # 4. shuffle once by part_id, encode each unit in Arrow on executors
     out_cols = schema_columns
@@ -298,8 +317,13 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
                            spark.sparkContext.defaultParallelism * 4))
     shuffled = with_part.repartition(n_shuffle, "part_id")
     if presort:
-        shuffled = shuffled.sortWithinPartitions("part_id",
-                                                 *opts.sort_columns)
+        # asc_nulls_last matches pyarrow pc.sort_indices' default null
+        # placement, so block bytes and content_sha256 are identical
+        # whichever path sorted the rows (Spark's ascending default is
+        # nulls-FIRST, which would break cross-path digest stability)
+        shuffled = shuffled.sortWithinPartitions(
+            F.col("part_id"),
+            *[F.col(c).asc_nulls_last() for c in opts.sort_columns])
     summaries = (
         shuffled
         .groupBy("part_id")

@@ -161,15 +161,24 @@ def live_parts(output: str) -> dict[int, dict]:
     snapshot's partitions (compaction rewrites shrink this below the
     full committed set) plus any committed-but-not-yet-snapshotted
     partitions (an in-flight or crashed run — still readable).
-    No snapshots at all -> every committed partition."""
+    No snapshots at all -> every committed partition.
+
+    Exception to the adoption rule: partitions whose manifest carries
+    ``pending_rewrite`` are a compaction's in-flight rewrite — their
+    rows duplicate live partitions until the compact snapshot swaps
+    them in, so they are NEVER adopted (a reader between compaction's
+    encode and its snapshot commit sees exactly the previous live set)."""
     manifests = committed_parts(output)
     snaps = snapshots(output)
     if not snaps:
-        return manifests
+        return {p: m for p, m in manifests.items()
+                if not m.get("pending_rewrite")}
     ever = set()
     for s in snaps:
         ever.update(s["part_ids"])
-    live = set(snaps[-1]["part_ids"]) | (set(manifests) - ever)
+    dangling = {p for p in set(manifests) - ever
+                if not manifests[p].get("pending_rewrite")}
+    live = set(snaps[-1]["part_ids"]) | dangling
     return {p: m for p, m in manifests.items() if p in live}
 
 
@@ -234,8 +243,11 @@ def expire_snapshots(output: str, keep_last: int = 1) -> dict:
         ever.update(s["part_ids"])
     manifests = committed_parts(output)
     # never delete committed-but-unsnapshotted partitions: they belong
-    # to an in-flight (or crashed, resumable) run
-    referenced |= set(manifests) - ever
+    # to an in-flight (or crashed, resumable) run.  Exception: a
+    # crashed compaction's pending_rewrite partitions duplicate live
+    # rows and are never adopted — reclaim them.
+    referenced |= {p for p in set(manifests) - ever
+                   if not manifests[p].get("pending_rewrite")}
     removed_parts = [p for p in sorted(manifests) if p not in referenced]
     for p in removed_parts:
         for path in (data_path(output, p), manifest_path(output, p)):
