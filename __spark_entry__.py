@@ -185,6 +185,30 @@ def q_codec_plan(spark, sf_dir):
          .otherwise("fsst+zlib").alias("codec"))
 
 
+# added op: float-column codec auto-selection (profile -> rule slice;
+# mirrors select.py's float rules: low cardinality -> dict, else plain)
+def q_float_codec_plan(spark, sf_dir):
+    df = _doc(spark, sf_dir, "embeddings")
+    cols = {"first_dim": F.element_at("embedding", 1).cast("double"),
+            "label_f": F.col("label").cast("double")}
+    stats = []
+    for name, col in cols.items():
+        stats.append(df.agg(
+            F.lit(name).alias("column"),
+            F.count(col).alias("n"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v")))
+    prof = stats[0]
+    for s in stats[1:]:
+        prof = prof.unionByName(s)
+    ratio = F.col("n_distinct") / F.col("n")
+    return prof.select(
+        "column", "n", "n_distinct", "min_v", "max_v",
+        F.when((ratio <= 0.05) | (F.col("n_distinct") <= 256), "dict")
+         .otherwise("plain").alias("codec"))
+
+
 # ------------------------------------------------- training-pipeline ops
 def q_dedup_exact(spark, sf_dir):
     df = _doc(spark, sf_dir)
@@ -374,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_plan": q_partition_plan,
         "for_width": q_for_width,
         "codec_plan": q_codec_plan,
+        "float_codec_plan": q_float_codec_plan,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "minhash_sig": q_minhash_sig,
@@ -523,6 +548,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_distinct / CAST(n AS DOUBLE) <= 0.05
                              OR n_distinct <= 256
                         THEN 'dict' ELSE 'fsst+zlib' END AS codec
+            FROM prof
+        """,
+        "float_codec_plan": """
+            WITH prof AS (
+              SELECT 'first_dim' AS column,
+                     count(CAST(embedding[1] AS DOUBLE)) AS n,
+                     count(DISTINCT CAST(embedding[1] AS DOUBLE))
+                       AS n_distinct,
+                     min(CAST(embedding[1] AS DOUBLE)) AS min_v,
+                     max(CAST(embedding[1] AS DOUBLE)) AS max_v
+              FROM embeddings
+              UNION ALL
+              SELECT 'label_f', count(CAST(label AS DOUBLE)),
+                     count(DISTINCT CAST(label AS DOUBLE)),
+                     min(CAST(label AS DOUBLE)), max(CAST(label AS DOUBLE))
+              FROM embeddings
+            )
+            SELECT "column", n, n_distinct, min_v, max_v,
+                   CASE WHEN n_distinct / CAST(n AS DOUBLE) <= 0.05
+                             OR n_distinct <= 256
+                        THEN 'dict' ELSE 'plain' END AS codec
             FROM prof
         """,
         "dedup_exact": """

@@ -336,3 +336,44 @@ def test_presort_digest_stable_with_nulls(spark, tmp_path):
                             for p, m in tbl.committed_parts(out).items()}
     assert digests[True] == digests[False]
     assert all(d for d in digests[True].values())
+
+
+def test_encode_decode_mixed_types(spark, tmp_path):
+    """Full pipeline over every supported physical shape (the reference
+    encodes Boolean/Int32/Float32/Utf8/List<...> — columndata.rs:12-28):
+    floats, booleans, and list columns ride the same partition encode,
+    get per-column auto-selected codecs, and decode bit-identically."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for j in range(300):
+        rows.append((
+            f"org{j % 3}/r", f"f{j}.py", f"{j % 7:040x}", "py",
+            f"x{j} = {j}" if j % 11 else None,        # nullable content
+            float(j % 5) / 4.0 if j % 13 else None,   # low-card float
+            j % 2 == 0,                               # boolean
+            [f"t{j % 4}", "common"] if j % 5 else [], # list<string>
+            [float(j), float(j) + 0.5],               # list<double>
+            list(range(j % 4)),                       # list<long>
+        ))
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string, quality double, flag boolean, "
+           "tags array<string>, scores array<double>, ids array<long>")
+    df = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "blocks")
+    encode(spark, df, out, target_rows=100)
+
+    # auto-selection picked type-appropriate codecs
+    m = next(iter(tbl.committed_parts(out).values()))
+    assert m["codecs"]["quality"] in ("dict", "rle")
+    assert m["codecs"]["flag"] in ("bitmap", "rle")
+    assert m["codecs"]["tags"].startswith("list:")
+    assert m["codecs"]["scores"].startswith("list:")
+    assert m["codecs"]["ids"].startswith("list:")
+
+    got = decode(spark, out)
+    assert dict(got.dtypes) == dict(df.dtypes)
+    # multiset equality across every column (NaN-free fixture)
+    assert got.count() == 300
+    assert df.exceptAll(got).count() == 0
+    assert got.exceptAll(df).count() == 0

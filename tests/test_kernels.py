@@ -223,3 +223,114 @@ def test_selection_prefers_delta_for_sorted():
     vals = np.cumsum(RNG.integers(1, 5, 5000)).astype(np.int64)
     s = profile_arrow(pa.array(vals, type=pa.int64()), "ts")
     assert choose_codec(s) == "delta"
+
+
+# ---------------------------------------------------------------------------
+# extended type coverage: float / bool / list kernels (the reference's seven
+# physical shapes, /root/reference/src/columndata.rs:12-28)
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vcf2parquet_spark.kernels import decode_column, encode_column
+from vcf2parquet_spark.profile import profile_arrow
+from vcf2parquet_spark.select import choose_codec
+
+
+def _bit_equal(a: pa.Array, b: pa.Array) -> bool:
+    """Bit-exact equality: same nulls, and valid values byte-identical
+    (NaN payloads and -0.0 must survive, which Array.equals hides)."""
+    if len(a) != len(b) or a.null_count != b.null_count:
+        return False
+    if len(a) and not (np.asarray(a.is_null()) == np.asarray(b.is_null())).all():
+        return False
+    da, db = a.drop_null(), b.drop_null()
+    if pa.types.is_list(a.type) or pa.types.is_large_list(a.type):
+        if len(da) == 0:
+            return len(db) == 0
+        la = pc.list_value_length(da).cast(pa.int64()).to_pylist()
+        lb = pc.list_value_length(db).cast(pa.int64()).to_pylist()
+        return la == lb and _bit_equal(
+            da.flatten(), db.flatten().cast(da.flatten().type))
+    if pa.types.is_floating(a.type):
+        return (np.asarray(da).tobytes()
+                == np.asarray(db.cast(a.type)).tobytes())
+    return da.equals(db.cast(da.type))
+
+
+FLOAT_FIXTURE = pa.array(
+    [1.5, -0.0, float("nan"), None, 2.5e300, 1e-310, -7.25] * 5,
+    pa.float64())
+
+
+@pytest.mark.parametrize("codec", ["plain", "rle", "dict", "plain+zlib",
+                                   "rle+zlib", "dict+zlib"])
+def test_float64_roundtrip(codec):
+    out = decode_column(*encode_column(FLOAT_FIXTURE, codec))
+    assert out.type == pa.float64()
+    assert _bit_equal(FLOAT_FIXTURE, out)
+
+
+def test_float32_roundtrip_preserves_width():
+    arr = pa.array(np.float32([0.1, 0.1, float("nan"), 7.25, -0.0]),
+                   pa.float32())
+    for codec in ("plain", "rle", "dict"):
+        out = decode_column(*encode_column(arr, codec))
+        assert out.type == pa.float32()
+        assert _bit_equal(arr, out)
+
+
+@pytest.mark.parametrize("codec", ["bitmap", "rle"])
+def test_bool_roundtrip(codec):
+    arr = pa.array([True] * 30 + [False] * 30 + [None, True, False] * 3)
+    out = decode_column(*encode_column(arr, codec))
+    assert out.type == pa.bool_()
+    assert _bit_equal(arr, out)
+
+
+@pytest.mark.parametrize("arr", [
+    pa.array([[1, 2], None, [], [3, 3, 3]], pa.list_(pa.int64())),
+    pa.array([[1.5, float("nan")], [-0.0], None, []], pa.list_(pa.float64())),
+    pa.array([["a", None, "bb"], [], None, ["ccc"]], pa.list_(pa.string())),
+    pa.array([], pa.list_(pa.float32())),
+    pa.array([None, None], pa.list_(pa.int64())),
+], ids=["ints", "floats", "strings", "empty", "all-null"])
+def test_list_roundtrip_auto_codec(arr):
+    codec = choose_codec(profile_arrow(arr, "c"))
+    assert codec.startswith("list:")
+    out = decode_column(*encode_column(arr, codec))
+    assert _bit_equal(arr, out)
+
+
+@pytest.mark.parametrize("codec", ["list:plain", "list:dict", "list:rle",
+                                   "list:fsst+zlib"])
+def test_list_string_codec_sweep(codec):
+    arr = pa.array([["x", "x", "yy"], None, [], ["zzz", "x"] * 20],
+                   pa.list_(pa.string()))
+    out = decode_column(*encode_column(arr, codec))
+    assert _bit_equal(arr, out)
+
+
+def test_int_dict_codec_roundtrip():
+    arr = pa.array([7, 7, -2, 7, None, 1000000, -2] * 10, pa.int64())
+    out = decode_column(*encode_column(arr, "dict"))
+    assert _bit_equal(arr, out)
+
+
+def test_float_bool_list_codec_selection():
+    """Selection rules for the new types are deterministic and sane."""
+    runs = pa.array([1.0] * 100 + [2.0] * 100)
+    assert choose_codec(profile_arrow(runs, "c")) == "rle"
+    lowcard = pa.array(np.arange(20, dtype=np.float64)[
+        np.arange(1000) % 20])
+    assert choose_codec(profile_arrow(lowcard, "c")) == "dict"
+    randomish = pa.array(np.frombuffer(
+        np.random.default_rng(7).bytes(8 * 500), np.float64))
+    assert choose_codec(profile_arrow(randomish, "c")).startswith("plain")
+    flips = pa.array([bool(i % 2) for i in range(200)])
+    assert choose_codec(profile_arrow(flips, "c")) == "bitmap"
+    blocks = pa.array([True] * 100 + [False] * 100)
+    assert choose_codec(profile_arrow(blocks, "c")) == "rle"
+    tags = pa.array([["py", "py", "rs"]] * 50, pa.list_(pa.string()))
+    assert choose_codec(profile_arrow(tags, "c")) == "list:dict"

@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from vcf2parquet_spark import table as tbl
 from vcf2parquet_spark.kernels import decode_column
 
-_SPARK_TYPES = {"string": "string", "int64": "long"}
+_SPARK_TYPES = {
+    "string": "string", "int64": "long",
+    "float64": "double", "float32": "float", "bool": "boolean",
+    "list<string>": "array<string>", "list<int64>": "array<long>",
+    "list<float64>": "array<double>", "list<float32>": "array<float>",
+    "list<bool>": "array<boolean>",
+}
 
 
 def _part_may_match(manifest: dict, col: str, op: str, value) -> bool:

@@ -248,9 +248,18 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
 
 
 def _raw_bytes(arr: pa.Array) -> int:
-    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+    t = arr.type
+    n_vals = len(arr) - arr.null_count
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
         return int(pc.sum(pc.binary_length(arr.cast(pa.string()))).as_py() or 0)
-    return 8 * (len(arr) - arr.null_count)
+    if pa.types.is_boolean(t):
+        return n_vals
+    if pa.types.is_float32(t):
+        return 4 * n_vals
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vals = arr.drop_null() if arr.null_count else arr
+        return 8 * n_vals + (_raw_bytes(vals.flatten()) if len(vals) else 0)
+    return 8 * n_vals
 
 
 def encode(spark: SparkSession, df: DataFrame, output: str,

@@ -3,20 +3,35 @@
 ``encode_column(arr, codec)`` / ``decode_column(payload, meta)`` are the
 only entry points the engine uses.  A codec spec is a base codec name
 optionally cascaded with ``+zlib`` (general-purpose residual stage for
-high-entropy columns — the documented fallback, SURVEY.md §7):
+high-entropy columns — the documented fallback, SURVEY.md §7); list
+columns compose as ``list:<child spec>``:
 
-    int64 :  plain | bitpack | for | rle | (+zlib)
-    string:  plain | dict | rle | fsst | (+zlib)
+    int64  :  plain | bitpack | for | delta | rle | dict | (+zlib)
+    string :  plain | dict | rle | fsst | (+zlib)
+    float  :  plain | rle | dict | (+zlib)   (codecs run on the IEEE bit
+              pattern via an exact int64 view — NaN payloads and -0.0
+              round-trip bit-identically)
+    bool   :  bitmap | rle
+    list<T>:  list:<spec for T>  (offsets delta+FOR-packed, child column
+              recursed through its own codec)
+
+This covers the reference's seven physical shapes — Boolean, Int32,
+Float32, Utf8, List<Int32/Float32/Utf8>
+(``/root/reference/src/columndata.rs:12-28``) — as Spark-side
+boolean/int64/float32/float64/string/list columns.
 
 Nulls are stripped into a validity bitmap section before the base codec
 runs and re-inserted on decode — mirroring how the reference's builders
 track nulls separately from values (``/root/reference/src/columndata.rs:92-103``).
+List framing (offsets + recursed values) mirrors its List builders
+(``columndata.rs:32-89``).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import vcf2parquet_spark._alloc  # noqa: F401  (mallopt tuning, side effect)
 from vcf2parquet_spark.kernels import codecs as C
@@ -38,6 +53,7 @@ _INT_CODECS = {
     "for": (C.enc_for, C.dec_for),
     "delta": (C.enc_delta, C.dec_delta),
     "rle": (C.enc_rle_int, C.dec_rle_int),
+    "dict": (C.enc_dict_int, C.dec_dict_int),
 }
 
 _STR_CODECS = {
@@ -47,8 +63,22 @@ _STR_CODECS = {
     "fsst": (F.enc_fsst, F.dec_fsst),
 }
 
+# floats run their IEEE bit patterns through the int kernels ("plain"
+# stores raw native-width bytes instead — no 2x blow-up for float32)
+_FLOAT_CODECS = ("plain", "rle", "dict")
+
+_BOOL_CODECS = {
+    "bitmap": (C.enc_bool_bitmap, C.dec_bool_bitmap),
+    "rle": (
+        lambda v: C.enc_rle_int(np.ascontiguousarray(v).astype(np.int64)),
+        lambda p, m: C.dec_rle_int(p, m).astype(bool),
+    ),
+}
+
 STRING_CODECS = tuple(_STR_CODECS)
 INT_CODECS = tuple(_INT_CODECS)
+FLOAT_CODECS = _FLOAT_CODECS
+BOOL_CODECS = tuple(_BOOL_CODECS)
 
 
 def _split_spec(codec: str) -> tuple[str, bool]:
@@ -57,34 +87,78 @@ def _split_spec(codec: str) -> tuple[str, bool]:
     return codec, False
 
 
+def _float_phys(t: pa.DataType) -> tuple[str, type, type]:
+    """(type tag, numpy float dtype, numpy unsigned bit dtype)."""
+    if pa.types.is_float32(t):
+        return "float32", np.float32, np.uint32
+    return "float64", np.float64, np.uint64
+
+
+def _strip_nulls(arr: pa.Array, sections: dict) -> pa.Array:
+    if arr.null_count:
+        sections["validity"] = pack_validity(~np.asarray(arr.is_null()))
+        return arr.drop_null()
+    return arr
+
+
 def encode_column(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
     """Encode one column block. Returns (payload, meta). Deterministic."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    base, cascade = _split_spec(codec)
     n = len(arr)
-    null_count = arr.null_count
     sections: dict[str, bytes] = {}
-    meta: dict = {"codec": codec, "n": n, "n_nulls": int(null_count)}
+    meta: dict = {"codec": codec, "n": n, "n_nulls": int(arr.null_count)}
 
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        if not codec.startswith("list:"):
+            raise TypeError(f"list column needs a 'list:<child>' spec, got {codec}")
+        values = _strip_nulls(arr, sections)
+        lens = pc.list_value_length(values).cast(pa.int64()) \
+                 .to_numpy(zero_copy_only=False)
+        offsets = np.zeros(len(values) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        child = values.flatten()
+        p_off, m_off = C.enc_delta(offsets)
+        p_child, m_child = encode_column(child, codec[len("list:"):])
+        sections["offsets"] = p_off
+        sections["child"] = p_child
+        meta["type"] = f"list<{m_child['type']}>"
+        meta["offsets"] = m_off
+        meta["child"] = m_child
+        payload, smeta = pack_sections(sections)
+        meta["sections"] = smeta
+        return payload, meta
+
+    base, cascade = _split_spec(codec)
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         meta["type"] = "string"
-        values = arr.drop_null() if null_count else arr
-        if null_count:
-            valid = ~np.asarray(arr.is_null())
-            sections["validity"] = pack_validity(valid)
+        values = _strip_nulls(arr, sections)
         enc, dec = _STR_CODECS[base]
         body, bmeta = enc(values.cast(pa.string()))
     elif pa.types.is_integer(arr.type):
         meta["type"] = "int64"
-        if null_count:
-            valid = ~np.asarray(arr.is_null())
-            sections["validity"] = pack_validity(valid)
-            values = arr.drop_null()
-        else:
-            values = arr
+        values = _strip_nulls(arr, sections)
         enc, dec = _INT_CODECS[base]
         body, bmeta = enc(values.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    elif pa.types.is_floating(arr.type):
+        tag, fdtype, udtype = _float_phys(arr.type)
+        meta["type"] = tag
+        values = _strip_nulls(arr, sections)
+        v = values.to_numpy(zero_copy_only=False).astype(fdtype, copy=False)
+        if base == "plain":
+            body, bmeta = np.ascontiguousarray(v).tobytes(), {"n": int(len(v))}
+        elif base in _FLOAT_CODECS:
+            bits = np.ascontiguousarray(v).view(udtype).astype(np.int64)
+            enc, dec = _INT_CODECS[base]
+            body, bmeta = enc(bits)
+        else:
+            raise KeyError(f"unsupported float codec: {base}")
+    elif pa.types.is_boolean(arr.type):
+        meta["type"] = "bool"
+        values = _strip_nulls(arr, sections)
+        v = values.to_numpy(zero_copy_only=False).astype(np.uint8)
+        enc, dec = _BOOL_CODECS[base]
+        body, bmeta = enc(v)
     else:
         raise TypeError(f"unsupported column type for codec kernels: {arr.type}")
 
@@ -120,28 +194,63 @@ def decode_column(payload: bytes, meta: dict) -> pa.Array:
 
 
 def _decode_column(payload: bytes, meta: dict) -> pa.Array:
+    typ = meta["type"]
+    n = meta["n"]
+    n_nulls = meta["n_nulls"]
+
+    if typ.startswith("list<"):
+        offsets = C.dec_delta(get_section(payload, meta["sections"], "offsets"),
+                              meta["offsets"])
+        child = decode_column(get_section(payload, meta["sections"], "child"),
+                              meta["child"])
+        values = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), child)
+        if not n_nulls:
+            return values
+        valid = unpack_validity(
+            get_section(payload, meta["sections"], "validity"), n)
+        return _scatter_valid_list(values, valid)
+
     base, cascade = _split_spec(meta["codec"])
     body = get_section(payload, meta["sections"], "body")
     if cascade:
         body = C.zlib_unwrap(body)
-    n = meta["n"]
-    n_nulls = meta["n_nulls"]
 
-    if meta["type"] == "string":
+    if typ == "string":
         values = _STR_CODECS[base][1](body, meta["base"])
         if not n_nulls:
             return values
         valid = unpack_validity(get_section(payload, meta["sections"], "validity"), n)
         return _scatter_valid_str(values, valid)
-    elif meta["type"] == "int64":
+    elif typ == "int64":
         vals = _INT_CODECS[base][1](body, meta["base"])
-        if not n_nulls:
-            return pa.array(vals, type=pa.int64())
-        valid = unpack_validity(get_section(payload, meta["sections"], "validity"), n)
-        out = np.zeros(n, dtype=np.int64)
-        out[valid] = vals
-        return pa.array(out, type=pa.int64(), mask=~valid)
-    raise TypeError(f"unsupported type tag: {meta['type']}")
+        return _with_validity(vals, np.int64, pa.int64(), payload, meta)
+    elif typ in ("float32", "float64"):
+        fdtype = np.float32 if typ == "float32" else np.float64
+        udtype = np.uint32 if typ == "float32" else np.uint64
+        patype = pa.float32() if typ == "float32" else pa.float64()
+        if base == "plain":
+            vals = np.frombuffer(body, dtype=fdtype).copy()
+        else:
+            bits = _INT_CODECS[base][1](body, meta["base"])
+            vals = bits.astype(udtype).view(fdtype)
+        return _with_validity(vals, fdtype, patype, payload, meta)
+    elif typ == "bool":
+        vals = _BOOL_CODECS[base][1](body, meta["base"])
+        return _with_validity(vals, bool, pa.bool_(), payload, meta)
+    raise TypeError(f"unsupported type tag: {typ}")
+
+
+def _with_validity(vals: np.ndarray, npdtype, patype: pa.DataType,
+                   payload: bytes, meta: dict) -> pa.Array:
+    """Re-insert nulls per the validity section (fixed-width types)."""
+    if not meta["n_nulls"]:
+        return pa.array(vals, type=patype)
+    valid = unpack_validity(get_section(payload, meta["sections"], "validity"),
+                            meta["n"])
+    out = np.zeros(meta["n"], dtype=npdtype)
+    out[valid] = vals
+    return pa.array(out, type=patype, mask=~valid)
 
 
 def _scatter_valid_str(values: pa.Array, valid: np.ndarray) -> pa.Array:
@@ -156,6 +265,22 @@ def _scatter_valid_str(values: pa.Array, valid: np.ndarray) -> pa.Array:
     # apply mask: build with validity via pa.array of python-free route
     mask = pa.array(~valid)
     return pa.compute.if_else(mask, pa.scalar(None, pa.string()), taken)
+
+
+def _scatter_valid_list(values: pa.ListArray, valid: np.ndarray) -> pa.Array:
+    """Re-insert nulls into a null-free list array per validity mask:
+    null rows get a zero-length span and a null offset slot (Arrow's
+    null-list encoding via nullable offsets)."""
+    n = len(valid)
+    lens = np.zeros(n, dtype=np.int64)
+    lens[valid] = pc.list_value_length(values).cast(pa.int64()) \
+                    .to_numpy(zero_copy_only=False)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    # a null in offsets[i] marks list i null (i < n; the final slot stays valid)
+    mask = np.append(~valid, False)
+    off_arr = pa.array(offsets.astype(np.int32), mask=mask)
+    return pa.ListArray.from_arrays(off_arr, values.flatten())
 
 
 def encoded_size(payload: bytes) -> int:

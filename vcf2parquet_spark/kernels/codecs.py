@@ -90,6 +90,31 @@ def dec_delta(payload: bytes, meta: dict) -> np.ndarray:
     return out.view(np.int64)
 
 
+def enc_dict_int(vals: np.ndarray) -> tuple[bytes, dict]:
+    """Dictionary encode ints: sorted-unique value dict (FOR-packed) +
+    bit-packed codes.  Pays off for low-cardinality int64 (and for
+    float bit-patterns routed through the int path, e.g. a column of
+    repeated quality scores)."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    uniq, codes = (np.unique(v, return_inverse=True) if len(v)
+                   else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
+    pc_, mc = enc_bitpack(codes.astype(np.int64))
+    pu, mu = for_pack(uniq)
+    payload, sections = pack_sections({"codes": pc_, "dict": pu})
+    return payload, {"n": int(len(v)), "n_dict": int(len(uniq)),
+                     "codes": mc, "dict": mu, "sections": sections}
+
+
+def dec_dict_int(payload: bytes, meta: dict) -> np.ndarray:
+    if meta["n"] == 0:
+        return np.zeros(0, dtype=np.int64)
+    codes = dec_bitpack(get_section(payload, meta["sections"], "codes"),
+                        meta["codes"])
+    uniq = for_unpack(get_section(payload, meta["sections"], "dict"),
+                      meta["dict"])
+    return uniq[codes]
+
+
 def enc_rle_int(vals: np.ndarray) -> tuple[bytes, dict]:
     """Run-length encode ints: FOR-packed run values + run lengths."""
     v = np.ascontiguousarray(vals, dtype=np.int64)
@@ -119,6 +144,20 @@ def dec_rle_int(payload: bytes, meta: dict) -> np.ndarray:
     run_vals = for_unpack(get_section(payload, meta["sections"], "vals"), meta["vals"])
     run_lens = for_unpack(get_section(payload, meta["sections"], "lens"), meta["lens"])
     return np.repeat(run_vals, run_lens)
+
+
+# --------------------------------------------------------------- booleans
+
+
+def enc_bool_bitmap(vals: np.ndarray) -> tuple[bytes, dict]:
+    """Booleans as a 1-bit-per-value bitmap (the reference's Boolean
+    builder analogue, /root/reference/src/columndata.rs:13)."""
+    v = np.ascontiguousarray(vals).astype(np.uint64)
+    return pack_bits(v, 1), {"n": int(len(v))}
+
+
+def dec_bool_bitmap(payload: bytes, meta: dict) -> np.ndarray:
+    return unpack_bits(payload, 1, meta["n"]).astype(bool)
 
 
 # ---------------------------------------------------------------- strings

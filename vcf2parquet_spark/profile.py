@@ -110,9 +110,71 @@ def profile_arrow(arr: pa.Array, name: str = "") -> dict:
             "delta_width": delta_width,
             "raw_bytes": int(8 * len(v)),
         })
+    elif pa.types.is_floating(arr.type):
+        fdtype, udtype, width = (
+            (np.float32, np.uint32, 4) if pa.types.is_float32(arr.type)
+            else (np.float64, np.uint64, 8))
+        stats["type"] = "float32" if width == 4 else "float64"
+        v = values.to_numpy(zero_copy_only=False).astype(fdtype, copy=False)
+        bits = np.ascontiguousarray(v).view(udtype)
+        n_distinct = len(np.unique(bits)) if len(v) else 0
+        max_run, avg_run = _run_stats(bits)
+        stats.update({
+            "n_distinct": int(n_distinct),
+            "distinct_ratio": float(n_distinct / max(1, len(v))),
+            "max_run": max_run,
+            "avg_run": avg_run,
+            "raw_bytes": int(width * len(v)),
+            "entropy": _byte_entropy(
+                np.ascontiguousarray(v).view(np.uint8)),
+        })
+        # value bounds for pruning, only when finite (JSON-safe)
+        if len(v) and bool(np.isfinite(v).all()):
+            stats["min"] = float(v.min())
+            stats["max"] = float(v.max())
+    elif pa.types.is_boolean(arr.type):
+        stats["type"] = "bool"
+        v = values.to_numpy(zero_copy_only=False).astype(np.uint8)
+        max_run, avg_run = _run_stats(v)
+        stats.update({
+            "n_distinct": int(len(np.unique(v))) if len(v) else 0,
+            "n_true": int(v.sum()),
+            "max_run": max_run,
+            "avg_run": avg_run,
+            "raw_bytes": int(len(v)),
+        })
+    elif pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        lens = pc.list_value_length(values).cast(pa.int64()) \
+                 .to_numpy(zero_copy_only=False) if len(values) else \
+               np.zeros(0, np.int64)
+        child = profile_arrow(values.flatten(), f"{name}[]") \
+            if len(values) else {"type": _child_type_tag(arr.type),
+                                 "n": 0, "n_nulls": 0, "raw_bytes": 0}
+        stats.update({
+            "type": f"list<{child['type']}>",
+            "avg_len": float(lens.mean()) if len(lens) else 0.0,
+            "max_len": int(lens.max()) if len(lens) else 0,
+            "raw_bytes": int(8 * len(values) + child.get("raw_bytes", 0)),
+            "child": child,
+        })
     else:
         raise TypeError(f"unsupported column type: {arr.type}")
     return stats
+
+
+def _child_type_tag(list_type: pa.DataType) -> str:
+    t = list_type.value_type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_integer(t):
+        return "int64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_floating(t):
+        return "float64"
+    if pa.types.is_boolean(t):
+        return "bool"
+    raise TypeError(f"unsupported list element type: {t}")
 
 
 def profile_table(tbl: pa.Table) -> dict[str, dict]:

@@ -20,6 +20,19 @@ string:
   else                               → fsst+zlib (path / content: FSST
                                        symbol table + zlib residual)
 
+float (codecs run on the exact IEEE bit pattern):
+  all-equal / long runs  → rle
+  low cardinality        → dict
+  entropy < HIGH_ENTROPY → plain+zlib
+  else                   → plain   (random mantissas: nothing to find)
+
+bool:
+  avg_run >= BOOL_RLE_RUN → rle    (bitmap is already 1 bit/value)
+  else                    → bitmap
+
+list<T>: ``list:<child choice>`` — offsets are always delta+FOR; the
+  rule recurses on the flattened child column's stats.
+
 ``choose_codecs`` applies the rules per column; ``overrides`` pins a
 codec per column (the analogue of the reference's user-chosen ``-c``
 codec, /root/reference/src/cli.rs:119-136 — there file-level, here
@@ -31,6 +44,7 @@ from __future__ import annotations
 from vcf2parquet_spark.kernels.util import bit_width
 
 RLE_RUN = 3.0        # mean run length that makes RLE worthwhile
+BOOL_RLE_RUN = 16.0  # bitmap is already 1 bit/value; RLE must beat that
 DICT_RATIO = 0.05    # distinct/n below this -> dictionary
 DICT_MAX = 256       # small absolute dictionaries are always worth it
 HIGH_ENTROPY = 7.3   # bits/byte; above -> symbol tables won't help
@@ -38,6 +52,32 @@ HIGH_ENTROPY = 7.3   # bits/byte; above -> symbol tables won't help
 
 def choose_codec(stats: dict) -> str:
     """Pick a codec spec for one column from its profile stats."""
+    if stats["type"].startswith("list<"):
+        # offsets framing is fixed (delta+FOR); the choice recurses on
+        # the flattened child column's own stats
+        child = stats.get("child") or {}
+        if not child or child.get("n", 0) == 0:
+            return "list:plain"
+        return "list:" + choose_codec(child)
+    if stats["type"] in ("float32", "float64"):
+        n_vals = stats["n"] - stats["n_nulls"]
+        if n_vals == 0 or stats["n_distinct"] <= 1:
+            return "rle"
+        if stats["avg_run"] >= RLE_RUN:
+            return "rle"
+        if (stats["distinct_ratio"] <= DICT_RATIO
+                or stats["n_distinct"] <= DICT_MAX):
+            return "dict"
+        # IEEE mantissa bytes are near-random: zlib only when the byte
+        # entropy says there is structure to find
+        if stats.get("entropy", 8.0) < HIGH_ENTROPY:
+            return "plain+zlib"
+        return "plain"
+    if stats["type"] == "bool":
+        n_vals = stats["n"] - stats["n_nulls"]
+        if n_vals and stats["avg_run"] >= BOOL_RLE_RUN:
+            return "rle"
+        return "bitmap"
     if stats["type"] == "int64":
         n_vals = stats["n"] - stats["n_nulls"]
         if n_vals == 0 or stats["n_distinct"] <= 1:
