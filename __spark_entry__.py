@@ -230,7 +230,9 @@ def q_fingerprint(spark, sf_dir):
 def q_minhash_sig(spark, sf_dir):
     from vcf2parquet_spark.functions.dedup import minhash_signatures
     df = _doc(spark, sf_dir).filter(F.col("doc_id") < 100)
-    return minhash_signatures(df, k=4, shingle=3).select(
+    # md5 family: engine-portable digests the DuckDB oracle reproduces
+    # bit-identically (the default xxhash64 family is the scale path)
+    return minhash_signatures(df, k=4, shingle=3, hash_fn="md5").select(
         "doc_id", "sig_0", "sig_1", "sig_2", "sig_3")
 
 

@@ -4,18 +4,25 @@ Scale design notes (the part that matters at 100 TB):
 
 * exact dedup is a hash ``groupBy`` — one shuffle on a 16-byte digest,
   map-side partial aggregation, no skew (hashes are uniform);
-* MinHash signatures are per-row (narrow, codegen); LSH banding turns
-  the quadratic all-pairs problem into an equi-join on (band, bucket) —
-  the only shuffle is by bucket key, and hot buckets (boilerplate docs)
-  are bounded by ``max_bucket`` before the pair explosion;
+* MinHash signatures are per-row (narrow, codegen); the default hash
+  family hashes each shingle ONCE with ``xxhash64`` and derives the k
+  signature lanes from that 64-bit value with fixed-width re-hashes —
+  ~10x less hash work than k independent digests of the full shingle
+  string.  ``hash_fn="md5"`` keeps the engine-portable digest family
+  (bit-identical in any SQL dialect — used by the DuckDB oracle);
+* LSH banding turns the quadratic all-pairs problem into ONE shuffle:
+  groupBy (band, bucket) with a collect_set, pairs expanded narrowly
+  from each bucket's sorted id array; hot buckets (boilerplate docs)
+  are dropped by ``max_bucket`` before the pair explosion;
 * SimHash is per-row bit voting via explode + groupBy on doc_id —
   shuffle proportional to token count, partial-aggregated map-side;
 * n-gram Jaccard is the *verifier* for candidate pairs, run only on the
-  LSH survivors, never all-pairs.
-
-MinHash here uses lexicographic-min of seeded md5 hex digests — engine-
-portable (identical in any SQL dialect) and exactly the Broder min-wise
-scheme with the hash family h_i(x) = md5(seed_i || x).
+  LSH survivors, never all-pairs; shingles whose posting list exceeds
+  ``max_postings`` are dropped via a broadcast stop-shingle anti-join
+  (one boilerplate shingle would otherwise make the self-join
+  quadratic);
+* embedding near-dup is LSH-bucketed cosine with the same
+  ``max_bucket`` hot-bucket guard.
 """
 
 from __future__ import annotations
@@ -42,26 +49,45 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        key_col: str = "doc_id", k: int = 8,
-                       shingle: int = 3) -> DataFrame:
+                       shingle: int = 3,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash signature per document over word shingles.
 
-    signature_i = min over shingles of md5(i || shingle); k columns
-    ``sig_0..sig_{k-1}``.  Pure built-ins: explode → groupBy(doc) with
-    k min() partial aggregates (one shuffle on the doc key).
+    k columns ``sig_0..sig_{k-1}``; pure built-ins: explode →
+    groupBy(doc) with k min() partial aggregates (one shuffle on the
+    doc key).
+
+    ``hash_fn="xxhash64"`` (default, the scale path): each shingle is
+    hashed ONCE; lane i is ``xxhash64(i, h)`` — a fixed-width (16-byte
+    input) re-hash, so the per-row cost is one string hash + k cheap
+    integer hashes instead of k full string digests.  This is the
+    Broder min-wise scheme with the family h_i(x) = g_i(f(x)).
+    ``hash_fn="md5"``: lexicographic-min of seeded md5 hex digests —
+    engine-portable (identical in any SQL dialect; the DuckDB oracle
+    uses this variant).  Both families agree on which documents share
+    signatures (tested), they just emit different signature values.
     """
     toks = _tokens(F.col(text_col))
     idx = F.sequence(F.lit(0),
                      F.greatest(F.size(toks) - shingle, F.lit(0)))
     # per-row dedup before the explode: min() over duplicate shingles is
     # identical, so dropping them row-side shrinks the exploded volume
-    # (and the k md5s per row) for free — no extra shuffle
+    # (and the k hashes per row) for free — no extra shuffle
     shingles = F.array_distinct(F.transform(idx, lambda i: F.array_join(
         F.slice(toks, i + 1, shingle), " ")))
     exploded = (df.select(key_col, F.explode(shingles).alias("shingle")))
-    aggs = [F.min(F.md5(F.concat(F.lit(str(i) + "|"),
-                                 F.col("shingle")))).alias(f"sig_{i}")
+    if hash_fn == "md5":
+        aggs = [F.min(F.md5(F.concat(F.lit(str(i) + "|"),
+                                     F.col("shingle")))).alias(f"sig_{i}")
+                for i in range(k)]
+        return exploded.groupBy(key_col).agg(*aggs)
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    hashed = exploded.select(key_col,
+                             F.xxhash64("shingle").alias("_h"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"sig_{i}")
             for i in range(k)]
-    return exploded.groupBy(key_col).agg(*aggs)
+    return hashed.groupBy(key_col).agg(*aggs)
 
 
 def lsh_candidates(sigs: DataFrame, key_col: str = "doc_id",
@@ -70,10 +96,13 @@ def lsh_candidates(sigs: DataFrame, key_col: str = "doc_id",
     """LSH banding over minhash signatures → candidate duplicate pairs.
 
     Each band hashes ``rows_per_band`` signature columns into a bucket;
-    docs sharing any (band, bucket) become a candidate pair.  Buckets
-    larger than ``max_bucket`` are dropped (boilerplate guard — the
-    explicit skew bound; without it one mega-bucket explodes
-    quadratically).
+    docs sharing any (band, bucket) become a candidate pair.  ONE wide
+    shuffle: groupBy (band, bucket) collecting each bucket's (distinct,
+    sorted) doc ids, then the pair list is expanded narrowly from the
+    array — no self-join, no window.  Buckets larger than ``max_bucket``
+    are dropped (boilerplate guard — the explicit skew bound; without
+    it one mega-bucket explodes quadratically).  A final distinct()
+    dedups pairs that collide in several bands.
     """
     sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
     assert len(sig_cols) >= bands * rows_per_band
@@ -83,21 +112,26 @@ def lsh_candidates(sigs: DataFrame, key_col: str = "doc_id",
         band_rows.append(sigs.select(
             F.col(key_col),
             F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+            F.xxhash64(*cols).alias("bucket")))
     buckets = band_rows[0]
     for extra in band_rows[1:]:
         buckets = buckets.unionByName(extra)
-    sized = buckets.withColumn(
-        "bsize", F.count("*").over(Window.partitionBy("band", "bucket")))
-    small = sized.filter(F.col("bsize") <= max_bucket).drop("bsize")
-    a = small.alias("a")
-    b = small.alias("b")
-    pairs = (a.join(b, ["band", "bucket"])
-             .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-             .select(F.col(f"a.{key_col}").alias("left_id"),
-                     F.col(f"b.{key_col}").alias("right_id"))
-             .distinct())
-    return pairs
+    grouped = (buckets.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_set(key_col)).alias("ks"))
+               .filter((F.size("ks") >= 2)
+                       & (F.size("ks") <= max_bucket)))
+    # narrow pair expansion: for each id at position i, pair it with
+    # every later id — flatten(transform x transform) stays inside
+    # whole-stage codegen, no join
+    ks = F.col("ks")
+    pairs_arr = F.flatten(F.transform(
+        ks,
+        lambda x, i: F.transform(
+            F.slice(ks, i + 2, F.greatest(F.size(ks) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("left_id"), y.alias("right_id")))))
+    return (grouped.select(F.explode(pairs_arr).alias("p"))
+            .select("p.left_id", "p.right_id")
+            .distinct())
 
 
 def simhash(df: DataFrame, text_col: str = "text",
@@ -126,12 +160,22 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
                         text_col: str = "text", key_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.0) -> DataFrame:
+                        n: int = 3, threshold: float = 0.0,
+                        max_postings: int | None = 10_000) -> DataFrame:
     """n-gram Jaccard similarity for candidate pairs (or all pairs of a
     *small* df if ``pairs`` is None — the verifier, not the scale path).
 
     Implemented as shingle explode + self-equi-join on shingle + count
     distinct intersections over union — no quadratic cross join.
+
+    ``max_postings`` bounds the self-join: shingles appearing in more
+    than that many documents (stop-shingles / boilerplate) are removed
+    via a broadcast anti-join before the pair expansion — one hot
+    shingle would otherwise contribute O(postings²) join rows.  The
+    stop-shingle list is tiny by construction (only pathological keys
+    cross the cap), so it broadcasts.  Jaccard keeps the FULL shingle
+    counts in the denominator, so dropped shingles can only lower a
+    pair's score (a conservative bound), never raise it.
     """
     toks = _tokens(F.col(text_col))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -139,6 +183,12 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
     sh = df.select(F.col(key_col), F.explode(shingles).alias("sh"),
                    F.size(shingles).alias("n_sh"))
+    if max_postings is not None:
+        hot = (sh.groupBy("sh")
+               .agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") > max_postings)
+               .select("sh"))
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, "sh")
              .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
@@ -159,23 +209,31 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.2,
                         n_planes: int = 6, dim: int = 64,
-                        vec_col: str = "embedding", key_col: str = "vec_id"
-                        ) -> DataFrame:
+                        vec_col: str = "embedding", key_col: str = "vec_id",
+                        max_bucket: int = 2000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
     The quadratic all-pairs cosine is cut to within-bucket pairs by the
     hyperplane LSH of :func:`~vcf2parquet_spark.functions.similarity.
     lsh_buckets` (near-identical vectors share all sign bits, so true
-    near-dups land in the same bucket); the only shuffle is the
-    self-equi-join on the bucket key, and bucket sizes are bounded by
-    2^n_planes fan-out.  Returns (id_a, id_b, score) with id_a < id_b,
-    score = cosine rounded to 6.
+    near-dups land in the same bucket); the only wide shuffle is the
+    self-equi-join on the bucket key.  Buckets larger than
+    ``max_bucket`` are dropped first via a broadcast anti-join on the
+    (tiny) hot-bucket list — without the cap, a degenerate embedding
+    cluster makes the within-bucket pair count O((N/2^planes)²) at
+    scale.  Returns (id_a, id_b, score) with id_a < id_b, score =
+    cosine rounded to 6.
     """
     from vcf2parquet_spark.functions.similarity import (
         _dot, _norm, lsh_buckets)
 
     buckets = lsh_buckets(df, n_planes=n_planes, dim=dim,
                           vec_col=vec_col, key_col=key_col)
+    hot = (buckets.groupBy("bucket")
+           .agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > max_bucket)
+           .select("bucket"))
+    buckets = buckets.join(F.broadcast(hot), "bucket", "left_anti")
     v = (df.select(F.col(key_col), F.col(vec_col).cast("array<double>")
                    .alias("_v"))
          .join(buckets, key_col))

@@ -157,20 +157,32 @@ def sample_frames(df: DataFrame, every_n: int = 4,
 
     def op(batches):
         for pdf in batches:
-            ids, idxs, frames = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                n_frames = max(1, -(-len(payload) // frame_bytes))
-                for fi in range(0, n_frames, every_n):
-                    ids.append(mid)
-                    idxs.append(fi)
-                    frames.append(
-                        payload[fi * frame_bytes:(fi + 1) * frame_bytes])
+            payloads = pdf["payload"]
+            n = len(payloads)
+            lens = payloads.str.len().to_numpy(dtype=np.int64)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            flat = b"".join(payloads.tolist())
+            # per-row sampled-frame counts, then one flat index space
+            # (vectorized offset arithmetic — no per-row Python loop)
+            n_frames = np.maximum(-(-lens // frame_bytes), 1)
+            n_sampled = -(-n_frames // every_n)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), n_sampled)
+            first_of_row = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_sampled, out=first_of_row[1:])
+            within = (np.arange(len(row_of), dtype=np.int64)
+                      - first_of_row[row_of])
+            frame_idx = within * every_n
+            starts = offsets[row_of] + frame_idx * frame_bytes
+            ends = np.minimum(starts + frame_bytes, offsets[row_of + 1])
+            ends = np.maximum(ends, starts)    # empty payload -> b""
+            frames = [flat[s:e] for s, e in
+                      zip(starts.tolist(), ends.tolist())]
             yield pd.DataFrame({
-                "media_id": ids,
-                "frame_idx": np.asarray(idxs, dtype=np.int32),
+                "media_id": pdf["media_id"].to_numpy()[row_of],
+                "frame_idx": frame_idx.astype(np.int32),
                 "frame": frames,
-                "n_bytes": np.asarray([len(f) for f in frames],
-                                      dtype=np.int64),
+                "n_bytes": (ends - starts),
             })
 
     return (df.select("media_id", "payload")
