@@ -8,6 +8,11 @@ text/json/csv readers decompress .gz/.bz2 natively per file extension —
 the scan stays distributed and splittable (bz2) or file-parallel (gz),
 so no custom byte-level code is needed; schema is applied explicitly
 (never inferred) so the scan prunes columns and pushes filters.
+
+xz has no Hadoop codec, so ``.xz`` inputs route through a
+``binaryFile`` scan + ``lzma`` decompress + C-backed pandas parse
+inside ``mapInPandas`` — file-parallel exactly like gzip (xz streams
+are not splittable either), Arrow-batched, no per-row Python.
 """
 
 from __future__ import annotations
@@ -21,13 +26,48 @@ CORPUS_DDL = ("repo string, path string, commit string, "
               "lang string, content string")
 
 
+def _read_xz(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """jsonl.xz / csv.xz: binaryFile scan (one task per file — the same
+    parallelism Spark gives non-splittable .gz) + lzma + pandas C
+    parsers inside mapInPandas."""
+    bin_df = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def op(batches):
+        import io
+        import lzma
+
+        import pandas as pd
+
+        for pdf in batches:
+            for raw in pdf["content"]:
+                buf = io.BytesIO(lzma.decompress(raw))
+                if fmt in ("jsonl", "json"):
+                    part = pd.read_json(buf, lines=True, dtype="string")
+                else:
+                    part = pd.read_csv(buf, dtype="string",
+                                       keep_default_na=False)
+                for c in CORPUS_COLUMNS:
+                    if c not in part.columns:
+                        part[c] = pd.Series(dtype="string")
+                yield part[CORPUS_COLUMNS].astype(object)
+
+    return bin_df.mapInPandas(op, schema=CORPUS_DDL)
+
+
 def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet"
                 ) -> DataFrame:
-    """Load a corpus table from parquet / jsonl(.gz|.bz2) / csv(.gz|.bz2).
+    """Load a corpus table from parquet / jsonl(.gz|.bz2|.xz) /
+    csv(.gz|.bz2|.xz).
 
     Returns exactly the 5 input_hint columns, validated.
     """
-    if fmt == "parquet":
+    if fmt.endswith(".xz") or path.endswith(".xz"):
+        base = fmt.removesuffix(".xz")
+        if base not in ("jsonl", "json", "csv"):
+            raise SchemaError(f"unsupported corpus format: {fmt}")
+        df = _read_xz(spark, path, base)
+    elif fmt == "parquet":
         df = spark.read.parquet(path)
     elif fmt in ("jsonl", "json"):
         df = spark.read.schema(CORPUS_DDL).json(path)
