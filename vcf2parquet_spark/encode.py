@@ -78,6 +78,7 @@ class EncodeOptions:
     # (part_id, *sort_columns) there costs one JVM sort total and lets
     # the UDF skip its pyarrow sort (a full table copy) entirely
     presort_in_shuffle: bool = True
+    shuffle_oversub: int = 16  # shuffle partitions per core (see encode())
     snapshot: bool = True     # False: skip the snapshot commit (used by
                               # compaction, which commits its own swap)
     manifest_tags: dict = field(default_factory=dict)  # extra manifest
@@ -318,12 +319,15 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
 
     # Explicit shuffle width: work units hashed into only ~#cores buckets
     # make the largest bucket the wall clock (and AQE would coalesce
-    # them further).  4x-core oversubscription with bounded-size units
-    # lets the scheduler stream tasks onto free cores, so the straggler
-    # tail is one unit, not one bucket — this is what keeps the N->4N
-    # scaling linear.  Capped by the unit count (no empty tasks).
+    # them further).  applyInArrow processes a whole shuffle partition's
+    # groups serially, so the wall tail is the fullest BUCKET, not the
+    # slowest unit; heavy oversubscription (default 16x cores, capped by
+    # the unit count) pushes buckets toward one unit each and the tail
+    # toward a single unit — this is what keeps the N->4N scaling
+    # linear.  Extra near-empty tasks cost ~ms each.
     n_shuffle = max(1, min(n_parts - opts.part_id_offset,
-                           spark.sparkContext.defaultParallelism * 4))
+                           spark.sparkContext.defaultParallelism
+                           * opts.shuffle_oversub))
     shuffled = with_part.repartition(n_shuffle, "part_id")
     if presort:
         # asc_nulls_last matches pyarrow pc.sort_indices' default null
