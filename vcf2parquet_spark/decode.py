@@ -2,14 +2,17 @@
 
 Mirrors ``encode.py`` in reverse (SURVEY.md §3.4 ``decode.py`` stage):
 
-* scan the blocks parquet (Catalyst prunes to committed partitions via a
-  pushed-down ``part_id`` filter — uncommitted stray data files are
-  excluded by the manifest checkpoint, giving read-committed semantics);
-* group by (part_id, block_idx) — one group = one row batch across all
-  column blocks — and decode inside ``applyInArrow`` (vectorized, no
-  per-row Python);
-* reassemble the original columns; derived integer columns are
-  recomputed and cross-checked, not trusted from storage.
+* plan: snapshot/time-travel resolution + manifest min/max pruning
+  produce the committed-file list (read-committed by construction —
+  uncommitted stray data files are never in the list);
+* execute: a narrow ``mapInArrow`` over the round-robin-distributed
+  file list; each task opens its files directly with pyarrow (column-
+  pruned read) and decodes block by block — ZERO shuffle of the encoded
+  bytes (the previous scan→repartition→applyInArrow shape moved the
+  whole table through the shuffle fabric once; at 100 TB that shuffle
+  IS the job);
+* row-level predicates are applied on the decoded output (whole-stage
+  codegen) after partition-level manifest pruning.
 
 ``verify`` proves the north-rule invariant — every ``content`` value
 sha256-identical to the input — with Spark-side ``sha2(content, 256)``
@@ -155,33 +158,48 @@ def decode(spark: SparkSession, output: str,
         for c in out_columns)
 
     committed_ids = sorted(manifests)
-    # read-committed by CONSTRUCTION: scan exactly the committed
-    # partitions' data files (the manifest is the file list, Iceberg-
-    # style).  No part_id isin filter — a literal In over 1e4-1e5
-    # committed ids would bloat the plan and cost O(n) per row; file-
-    # level pruning happens before Spark ever lists the directory.
-    blocks = (
-        spark.read.parquet(*[tbl.data_path(output, p)
-                             for p in committed_ids])
-        .filter(F.col("column").isin(list(out_columns)))
-        .select("part_id", "block_idx", "column", "meta", "data"))
-
     cols = list(out_columns)
 
-    def _decode_group(key: tuple, t: pa.Table) -> pa.Table:
-        import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
-        by_col = {}
-        names = t.column("column").to_pylist()
-        metas = t.column("meta").to_pylist()
-        datas = t.column("data").to_pylist()
-        for name, m, d in zip(names, metas, datas):
-            by_col[name] = decode_column(d, json.loads(m))
-        return pa.table({c: by_col[c] for c in cols})
+    # Shuffle-free decode: each committed partition is exactly one
+    # blocks file (the manifest is the file list, Iceberg-style), so
+    # instead of scanning + SHUFFLING the encoded bytes into
+    # (part_id, block_idx) groups — a full-table shuffle at 100 TB —
+    # we distribute the (tiny) pruned file list round-robin and let
+    # each task open its files directly with pyarrow: a narrow
+    # mapInArrow, zero data movement, parallelism = #partitions.
+    # Column pruning happens in the pyarrow read (only the requested
+    # columns' block rows are materialized).
+    paths = [(tbl.data_path(output, p),) for p in committed_ids]
+    n_slices = max(1, min(len(paths),
+                          spark.sparkContext.defaultParallelism * 4))
+    files = spark.createDataFrame(paths, "path string").repartition(n_slices)
 
-    out = (blocks
-           .repartition("part_id", "block_idx")
-           .groupBy("part_id", "block_idx")
-           .applyInArrow(_decode_group, schema=ddl))
+    def _decode_files(batches):
+        import pyarrow.parquet as pq
+
+        import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                t = pq.read_table(
+                    path, columns=["block_idx", "column", "meta", "data"],
+                    filters=[("column", "in", cols)])
+                bidx = t.column("block_idx").to_numpy()
+                names = t.column("column").to_pylist()
+                metas = t.column("meta").to_pylist()
+                datas = t.column("data").to_pylist()
+                blocks: dict[int, dict] = {}
+                for i in range(len(bidx)):
+                    blocks.setdefault(int(bidx[i]), {})[names[i]] = (
+                        datas[i], metas[i])
+                for bi in sorted(blocks):
+                    by_col = blocks[bi]
+                    yield pa.record_batch(
+                        {c: decode_column(by_col[c][0],
+                                          json.loads(by_col[c][1]))
+                         for c in cols})
+
+    out = files.mapInArrow(_decode_files, schema=ddl)
     # manifest pruning is partition-granular; finish with the exact
     # row-level predicate (Catalyst expression, whole-stage codegen)
     for c, op, v in (filters or []):
