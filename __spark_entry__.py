@@ -248,6 +248,26 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(df, n=2, threshold=0.05)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Candidate pairs -> duplicate clusters (connected components, min
+    member id as representative) — the dedup group-resolution step that
+    turns pairwise LSH hits into keep/drop decisions."""
+    from vcf2parquet_spark.functions.dedup import (
+        dedup_clusters, ngram_jaccard_pairs)
+    df = _doc(spark, sf_dir).filter(F.col("doc_id") < 40)
+    pairs = ngram_jaccard_pairs(df, n=2, threshold=0.05) \
+        .select("left_id", "right_id")
+    return dedup_clusters(pairs)
+
+
+def q_token_subwords(spark, sf_dir):
+    """BPE-ish subword-count estimate (words + punctuation + digit
+    groups) from functions.text.token_stats."""
+    from vcf2parquet_spark.functions.text import token_stats
+    df = _doc(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return token_stats(df).select("doc_id", "n_subwords")
+
+
 def q_token_stats(spark, sf_dir):
     df = _doc(spark, sf_dir).filter(F.col("doc_id") < 200)
     toks = F.split(F.lower("text"), " ")
@@ -406,7 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "token_stats": q_token_stats,
+        "token_subwords": q_token_subwords,
         "quality": q_quality,
         "langid": q_langid,
         "cosine_topk": q_cosine_topk,
@@ -667,6 +689,48 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             WHERE n_common / CAST(n_left + n_right - n_common AS DOUBLE)
                   >= 0.05
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents WHERE doc_id < 40
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+              FROM toks,
+                   (SELECT unnest(generate_series(1, 2000)) AS i) idx
+              WHERE i <= greatest(len(t) - 1, 1)
+            ), sized AS (
+              SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n_sh
+              FROM sh
+            ), inter AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     a.n_sh AS n_left, b.n_sh AS n_right,
+                     count(*) AS n_common
+              FROM sized a JOIN sized b USING (sh)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            ), pairs AS (
+              SELECT left_id, right_id FROM inter
+              WHERE n_common / CAST(n_left + n_right - n_common AS DOUBLE)
+                    >= 0.05
+            ), sym AS (
+              SELECT left_id AS u, right_id AS v FROM pairs
+              UNION
+              SELECT right_id, left_id FROM pairs
+            ), r(id, lab) AS (
+              SELECT DISTINCT u, u FROM sym
+              UNION
+              SELECT s.u, r.lab FROM sym s JOIN r ON r.id = s.v
+            )
+            SELECT id AS doc_id, min(lab) AS cluster_id FROM r GROUP BY id
+        """,
+        "token_subwords": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(text), '\\s+'))
+                        + length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        + len(string_split_regex(text, '[0-9]+')) - 1
+                        AS INT) AS n_subwords
+            FROM documents WHERE doc_id < 200
         """,
         "token_stats": """
             SELECT doc_id,

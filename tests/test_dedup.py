@@ -109,3 +109,21 @@ def test_embedding_near_dups_max_bucket(spark):
     full = embedding_near_dups(df, threshold=0.5, n_planes=4, dim=dim,
                                max_bucket=10_000)
     assert full.count() >= 30 * 29 // 2
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Chain + triangle + isolated pair resolve to min-id components;
+    a chain (diameter > 1) needs multiple propagation rounds."""
+    from vcf2parquet_spark.functions.dedup import dedup_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),        # chain -> cluster 1
+         (10, 11), (11, 12), (10, 12),          # triangle -> cluster 10
+         (20, 21)],                             # pair -> cluster 20
+        "left_id long, right_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # representatives = rows where id == cluster_id
+    reps = sorted(k for k, v in got.items() if k == v)
+    assert reps == [1, 10, 20]

@@ -20,6 +20,7 @@ from vcf2parquet_spark.functions.dedup import (
     simhash,
     ngram_jaccard_pairs,
     embedding_near_dups,
+    dedup_clusters,
 )
 from vcf2parquet_spark.functions.similarity import (
     cosine_topk,
@@ -32,7 +33,7 @@ from vcf2parquet_spark.functions.similarity import (
 __all__ = [
     "language_id", "quality_score", "token_stats", "fingerprint",
     "exact_dedup", "minhash_signatures", "lsh_candidates", "simhash",
-    "ngram_jaccard_pairs", "embedding_near_dups",
+    "ngram_jaccard_pairs", "embedding_near_dups", "dedup_clusters",
     "cosine_topk", "lsh_buckets",
     "ivf_assign", "ivf_train", "ivf_topk",
 ]

@@ -207,6 +207,51 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
               .select("left_id", "right_id", "n_common", "jaccard")
 
 
+def dedup_clusters(pairs: DataFrame, key_col: str = "doc_id",
+                   max_iter: int = 25) -> DataFrame:
+    """Resolve candidate duplicate PAIRS into duplicate CLUSTERS:
+    connected components with the minimum member id as the canonical
+    representative.  Returns (key_col, cluster_id) for every id that
+    appears in ``pairs``; keep rows where id == cluster_id to pick one
+    representative per group.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbours' labels (one
+    equi-join + one groupBy per round, both map-side combinable).
+    Rounds needed = graph diameter; near-dup graphs are dense small
+    cliques (LSH links most members pairwise), so convergence is
+    typically 2-3 rounds.  Each round materializes (the convergence
+    check is the action) and the previous round is unpersisted, so plan
+    lineage stays constant-size.  ``max_iter`` is a pathological-chain
+    backstop.
+    """
+    e = pairs.select(F.col("left_id").alias("src"),
+                     F.col("right_id").alias("dst"))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")).persist())
+    labels.count()
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+               .select(F.col("dst").alias("id"), "label"))
+        new_labels = (labels.unionByName(nbr)
+                      .groupBy("id").agg(F.min("label").alias("label"))
+                      .persist())
+        changed = (new_labels.withColumnRenamed("label", "new_label")
+                   .join(labels, "id")
+                   .filter(F.col("new_label") < F.col("label"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias(key_col),
+                         F.col("label").alias("cluster_id"))
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.2,
                         n_planes: int = 6, dim: int = 64,
                         vec_col: str = "embedding", key_col: str = "vec_id",
