@@ -36,7 +36,13 @@ def _tokens(col):
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 key_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min key) per exact text; adds group size."""
+    """Keep one representative (min key) per exact text; adds group size.
+
+    Two window functions over the SAME window spec = one shuffle + one
+    sort (Catalyst plans a single Window node); the groupBy+self-join
+    alternative costs two shuffles unless the exchange is reused, and
+    the group table is not broadcastable at scale.
+    """
     h = F.md5(F.col(text_col))
     w = Window.partitionBy(h)
     return (df
