@@ -141,3 +141,45 @@ def test_streaming_then_compact(spark, corpus_parquet, tmp_path):
     assert res["status"] == "committed"
     assert len(tbl.live_parts(out)) < n_live_before
     assert verify(spark, df, out)["ok"]
+
+
+def test_cli_dedup_clusters(spark, tmp_path, capsys):
+    """`dedup` subcommand: documents parquet -> (doc_id, cluster_id)."""
+    from vcf2parquet_spark.cli import main
+
+    rows = [(i, f"unique document number {i} " +
+             " ".join(f"tok{i}_{j}" for j in range(15))) for i in range(20)]
+    rows += [(50, "duplicate body shared by two docs exactly"),
+             (51, "duplicate body shared by two docs exactly")]
+    docs_p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(docs_p)
+    to = str(tmp_path / "clusters.parquet")
+    rc = main(["dedup", "-i", docs_p, "--to", to])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_redundant"] >= 1
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in spark.read.parquet(to).collect()}
+    assert got[50] == got[51] == 50
+
+
+def test_cli_convert_from_xz(spark, tmp_path, capsys):
+    """`convert -f jsonl.xz` routes through the lzma source path."""
+    import lzma
+
+    from pyspark.sql import functions as F
+    from vcf2parquet_spark.cli import main
+    from vcf2parquet_spark.decode import decode
+
+    df = synth_corpus(spark, 400, seed=9)
+    d = tmp_path / "src"
+    os.makedirs(d)
+    body = "\n".join(json.dumps(r.asDict()) for r in df.collect())
+    with lzma.open(d / "c.jsonl.xz", "wt") as f:
+        f.write(body)
+    out = str(tmp_path / "blocks")
+    rc = main(["convert", "-i", str(d), "-f", "jsonl.xz", "-o", out,
+               "--target-rows", "200"])
+    assert rc == 0
+    assert decode(spark, out).count() == 400

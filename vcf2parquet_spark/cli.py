@@ -6,7 +6,7 @@ Reference (/root/reference/src/cli.rs:44-105):
 
 Ours (``python -m vcf2parquet_spark ...``):
 
-    convert -i CORPUS_PARQUET -o OUT [-b BATCH] [-c COL=CODEC ...]
+    convert -i CORPUS -o OUT [-f FORMAT] [-b BATCH] [-c COL=CODEC ...]
     split   -i CORPUS_PARQUET -o OUT [-b BATCH]     # one blocks file per
                                                     # batch (target_rows=batch,
                                                     # the reference's
@@ -19,6 +19,7 @@ Ours (``python -m vcf2parquet_spark ...``):
                                             #   rewrite_data_files analogue)
     expire  -o OUT [--keep-last K]          # reclaim superseded files
     corpus  --rows N --to PARQUET_DIR [--seed 42]   # deterministic test corpus
+    dedup   -i DOCS_PARQUET --to OUT        # MinHash+LSH near-dup clusters
 
 Defaults mirror the reference where meaningful: batch 100_000
 (cli.rs:114-116); ``-c`` generalizes the file-level codec enum
@@ -49,7 +50,14 @@ def main(argv: list[str] | None = None) -> int:
 
     def add_common(p):
         p.add_argument("-i", "--input", required=True,
-                       help="corpus parquet path (or any 5-col table)")
+                       help="corpus path (5-col table)")
+        p.add_argument("-f", "--format", default="parquet",
+                       choices=["parquet", "jsonl", "json", "csv",
+                                "jsonl.xz", "json.xz", "csv.xz"],
+                       help="input format; .gz/.bz2 are auto-detected by "
+                            "extension, .xz via the binaryFile+lzma path "
+                            "(reference: niffler auto-detect, "
+                            "vcf2parquet.rs:24-27)")
         p.add_argument("-o", "--output", required=True)
         p.add_argument("-b", "--batch-size", type=int, default=100_000)
         p.add_argument("-c", "--codec", action="append", metavar="COL=CODEC",
@@ -93,6 +101,20 @@ def main(argv: list[str] | None = None) -> int:
     pc_.add_argument("--to", required=True)
     pc_.add_argument("--seed", type=int, default=42)
 
+    pdd = sub.add_parser(
+        "dedup", help="MinHash+LSH near-dup clusters over a document table")
+    pdd.add_argument("-i", "--input", required=True,
+                     help="parquet with (key, text) columns")
+    pdd.add_argument("--to", required=True,
+                     help="destination parquet: (key, cluster_id)")
+    pdd.add_argument("--text-col", default="text")
+    pdd.add_argument("--key-col", default="doc_id")
+    pdd.add_argument("-k", type=int, default=8, help="signature lanes")
+    pdd.add_argument("--shingle", type=int, default=3)
+    pdd.add_argument("--bands", type=int, default=4)
+    pdd.add_argument("--rows-per-band", type=int, default=2)
+    pdd.add_argument("--max-bucket", type=int, default=1000)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "history":   # pure metadata read — no Spark needed
@@ -113,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd in ("convert", "split"):
             from vcf2parquet_spark.encode import encode
-            df = spark.read.parquet(args.input)
+            from vcf2parquet_spark.sources import read_corpus
+            df = read_corpus(spark, args.input, fmt=args.format)
             target = (args.batch_size if args.cmd == "split"
                       else args.target_rows)
             job = encode(spark, df, args.output,
@@ -145,6 +168,26 @@ def main(argv: list[str] | None = None) -> int:
             synth_corpus(spark, args.rows, seed=args.seed) \
                 .write.mode("overwrite").parquet(args.to)
             print(json.dumps({"rows": args.rows, "to": args.to}))
+        elif args.cmd == "dedup":
+            from vcf2parquet_spark.functions.dedup import (
+                dedup_clusters, lsh_candidates, minhash_signatures)
+            docs = spark.read.parquet(args.input)
+            sigs = minhash_signatures(docs, text_col=args.text_col,
+                                      key_col=args.key_col, k=args.k,
+                                      shingle=args.shingle)
+            pairs = lsh_candidates(sigs, key_col=args.key_col,
+                                   bands=args.bands,
+                                   rows_per_band=args.rows_per_band,
+                                   max_bucket=args.max_bucket)
+            clusters = dedup_clusters(pairs, key_col=args.key_col)
+            clusters.write.mode("overwrite").parquet(args.to)
+            n_docs = docs.count()
+            n_clustered = clusters.count()
+            n_groups = clusters.select("cluster_id").distinct().count()
+            print(json.dumps({
+                "to": args.to, "n_docs": n_docs,
+                "n_in_dup_groups": n_clustered, "n_groups": n_groups,
+                "n_redundant": n_clustered - n_groups}))
     finally:
         if pre_existing is None:  # don't stop a session we didn't create
             spark.stop()
