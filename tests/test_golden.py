@@ -35,6 +35,18 @@ def _cases() -> dict[str, tuple[pa.Array, str]]:
         "bitpack_size": (ints, "bitpack"),
         "for_size": (ints, "for"),
         "rle_int_size": (ints, "rle"),
+        # extended type coverage (round 2): float / bool / list framing
+        "float_dict_size": (pc.divide(ints.cast(pa.float64()), 4.0),
+                            "dict"),
+        "float_plain_zlib": (pc.multiply(ints.cast(pa.float64()), 0.0037),
+                             "plain+zlib"),
+        "bool_bitmap": (pc.equal(pc.bit_wise_and(ints, 1), 0), "bitmap"),
+        "bool_rle": (pc.greater(ints, 40), "rle"),
+        "list_str_dict": (pc.split_pattern(t["path"].combine_chunks(), "/"),
+                          "list:dict"),
+        "list_int_delta": (pa.ListArray.from_arrays(
+            pa.array(range(0, 201), type=pa.int32()),
+            pc.sort_indices(ints).cast(pa.int64())), "list:delta"),
     }
 
 

@@ -334,3 +334,45 @@ def test_float_bool_list_codec_selection():
     assert choose_codec(profile_arrow(blocks, "c")) == "rle"
     tags = pa.array([["py", "py", "rs"]] * 50, pa.list_(pa.string()))
     assert choose_codec(profile_arrow(tags, "c")) == "list:dict"
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(allow_nan=True, allow_infinity=True,
+                                    width=64))))
+def test_float_roundtrip_hypothesis(xs):
+    arr = pa.array(xs, type=pa.float64())
+    for codec in ("plain", "rle", "dict", "plain+zlib"):
+        out = decode_column(*encode_column(arr, codec))
+        assert _bit_equal(arr, out), codec
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.booleans())))
+def test_bool_roundtrip_hypothesis(xs):
+    arr = pa.array(xs, type=pa.bool_())
+    for codec in ("bitmap", "rle"):
+        out = decode_column(*encode_column(arr, codec))
+        assert _bit_equal(arr, out), codec
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.integers(min_value=-2**63, max_value=2**63 - 1),
+             max_size=6)), max_size=30))
+def test_list_int_roundtrip_hypothesis(xs):
+    arr = pa.array(xs, type=pa.list_(pa.int64()))
+    for codec in ("list:plain", "list:for", "list:rle", "list:dict"):
+        out = decode_column(*encode_column(arr, codec))
+        assert _bit_equal(arr, out), codec
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.lists(st.text(max_size=8),
+                                              max_size=5)), max_size=25))
+def test_list_str_roundtrip_hypothesis(xs):
+    arr = pa.array(xs, type=pa.list_(pa.string()))
+    codec = choose_codec(profile_arrow(arr, "c"))
+    out = decode_column(*encode_column(arr, codec))
+    assert _bit_equal(arr, out), codec
