@@ -112,6 +112,31 @@ def q_g_projection(spark, sf_dir):
     return df.select("vec_id", F.posexplode(proj).alias("pos", "val"))
 
 
+# §2 ops 1-3: compressed source scan + schema application + record parse.
+# The documents table is reshaped to the corpus schema, written as
+# gzip jsonl, read back through sources.read_corpus (explicit schema,
+# Spark-native decompression), and aggregated; the oracle computes the
+# same aggregate from the original table — any scan/parse corruption
+# breaks the hash match.
+def q_source_scan(spark, sf_dir):
+    import tempfile
+
+    from vcf2parquet_spark.sources import read_corpus, write_corpus
+    d = tempfile.mkdtemp(prefix="vp_src_") + "/docs_jsonl"
+    df = _doc(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+    write_corpus(df, d, fmt="jsonl", compression="gzip")
+    back = read_corpus(spark, d, fmt="jsonl")
+    return back.groupBy("repo").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("content")).cast("long").alias("content_chars"),
+        F.countDistinct("commit").alias("n_distinct_texts"))
+
+
 # §2 ops 10+11: flag widening + missing-value defaulting (coalesce)
 def q_flag_defaulting(spark, sf_dir):
     df = _doc(spark, sf_dir)
@@ -414,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "element_projection": q_element_projection,
         "array_slice": q_array_slice,
         "g_projection": q_g_projection,
+        "source_scan": q_source_scan,
         "flag_defaulting": q_flag_defaulting,
         "token_recode": q_token_recode,
         "batching": q_batching,
@@ -524,6 +550,12 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT unnest(generate_series(1, 3)) AS i) g
             WHERE CAST((label*label + 5*label + 4) / 2 AS INT)
                   < len(embedding)
+        """,
+        "source_scan": """
+            SELECT source AS repo, count(*) AS n_rows,
+                   CAST(sum(length(text)) AS BIGINT) AS content_chars,
+                   count(DISTINCT md5(text)) AS n_distinct_texts
+            FROM documents GROUP BY source
         """,
         "flag_defaulting": """
             SELECT doc_id,
