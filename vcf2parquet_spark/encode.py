@@ -56,7 +56,7 @@ from vcf2parquet_spark.select import choose_codecs
 DEFAULT_BATCH = 100_000          # rows per block (reference default batch size)
 DEFAULT_TARGET_ROWS = 250_000    # rows per work unit before salting kicks in
 
-SUMMARY_SCHEMA = ("part_id int, n_rows long, raw_bytes long, enc_bytes long, "
+SUMMARY_SCHEMA = ("part_id long, n_rows long, raw_bytes long, enc_bytes long, "
                   "n_blocks int, n_columns int, seconds double, status string")
 
 
@@ -136,7 +136,7 @@ def anti_join_committed(spark: SparkSession, with_part: DataFrame,
     against a small broadcast side is O(1) per row and keeps the plan
     constant-size (SURVEY.md §2.12 prescription)."""
     committed_df = spark.createDataFrame(
-        [(int(p),) for p in sorted(committed)], "part_id int")
+        [(int(p),) for p in sorted(committed)], "part_id long")
     return with_part.join(F.broadcast(committed_df), "part_id", "left_anti")
 
 
@@ -280,7 +280,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
                                     offset=opts.part_id_offset)
     plan_df = spark.createDataFrame(
         [(p["repo"], p["base_part_id"], p["fanout"]) for p in plan],
-        "repo string, base_part_id int, fanout int")
+        "repo string, base_part_id long, fanout int")
 
     # 2. checkpoint: skip committed partitions (exact resume)
     committed = set(tbl.committed_parts(output)) if opts.resume else set()
@@ -293,7 +293,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
             (F.col("base_part_id")
              + F.when(F.col("fanout") > 1,
                       F.pmod(F.xxhash64("path", "commit"), F.col("fanout")))
-              .otherwise(F.lit(0))).cast("int"))
+              .otherwise(F.lit(0))).cast("long"))
         .drop("base_part_id", "fanout"))
     if committed:
         with_part = anti_join_committed(spark, with_part, committed)
@@ -312,7 +312,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         summary = encode_partition(pid, t, output, opts_b, list(out_cols),
                                    already_sorted=presort)
         return pa.Table.from_pylist([summary], schema=pa.schema([
-            ("part_id", pa.int32()), ("n_rows", pa.int64()),
+            ("part_id", pa.int64()), ("n_rows", pa.int64()),
             ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
             ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
             ("seconds", pa.float64()), ("status", pa.string())]))

@@ -19,7 +19,7 @@ ArrowWriter close = the only commit point) to a distributed setting.
 Blocks table schema (the analogue of the reference's Parquet row groups,
 one row here = one column × one row-batch):
 
-    part_id int32, block_idx int32, column string, codec string,
+    part_id int64, block_idx int32, column string, codec string,
     n_rows int64, raw_bytes int64, enc_bytes int64,
     meta string (JSON), data binary
 """
@@ -33,7 +33,9 @@ import uuid
 import pyarrow as pa
 
 BLOCKS_SCHEMA = pa.schema([
-    ("part_id", pa.int32()),
+    ("part_id", pa.int64()),   # int64: streaming epochs namespace
+                               # ids by epoch*1e6 — int32 overflows
+                               # after ~2147 micro-batches
     ("block_idx", pa.int32()),
     ("column", pa.string()),
     ("codec", pa.string()),
