@@ -377,3 +377,19 @@ def test_encode_decode_mixed_types(spark, tmp_path):
     assert got.count() == 300
     assert df.exceptAll(got).count() == 0
     assert got.exceptAll(df).count() == 0
+
+
+def test_register_view_sql(spark, tmp_path):
+    """SQL over an encoded table via register_view (lazy decode plan)."""
+    from pyspark.sql import functions as F
+    from vcf2parquet_spark.decode import register_view
+
+    out = str(tmp_path / "blocks")
+    df = synth_corpus(spark, 1_000, seed=3)
+    encode(spark, df, out, target_rows=500)
+    register_view(spark, out, "corpus_v", columns=["lang", "content"])
+    got = {r["lang"]: r["n"] for r in spark.sql(
+        "SELECT lang, count(*) AS n FROM corpus_v GROUP BY lang").collect()}
+    want = {r["lang"]: r["n"] for r in
+            df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == want

@@ -33,6 +33,6 @@ __all__ = ["encode", "decode", "verify", "synth_corpus", "__version__"]
 
 from vcf2parquet_spark.corpus import synth_corpus
 from vcf2parquet_spark.encode import EncodeOptions, encode
-from vcf2parquet_spark.decode import decode, verify
+from vcf2parquet_spark.decode import decode, register_view, verify
 
-__all__ += ["EncodeOptions"]
+__all__ += ["EncodeOptions", "register_view"]

@@ -219,6 +219,21 @@ _OPS = {
 }
 
 
+def register_view(spark: SparkSession, output: str, name: str,
+                  **decode_kwargs) -> DataFrame:
+    """Expose an encoded table to Spark SQL: ``register_view(spark, out,
+    'corpus')`` then ``spark.sql('SELECT lang, count(*) FROM corpus
+    GROUP BY lang')``.  The view is the LAZY decode plan — nothing is
+    materialized until a query runs.  Note the decode map's column set
+    is fixed when the view is registered: pass ``columns=`` to prune
+    the pyarrow block read itself (Catalyst prunes only above the map),
+    and ``filters=`` for manifest-level partition pruning.  kwargs are
+    decode()'s (columns=, snapshot_id=, filters=, ...)."""
+    df = decode(spark, output, **decode_kwargs)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def verify(spark: SparkSession, df: DataFrame, output: str) -> dict:
     """North-rule invariant check: decoded content sha256 == input's.
 
