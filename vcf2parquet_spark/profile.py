@@ -188,11 +188,23 @@ def profile_df(df, columns: list[str] | None = None):
     from pyspark.sql import functions as F
 
     cols = columns or [f.name for f in df.schema.fields
-                       if f.dataType.typeName() in ("string", "long", "integer")]
+                       if f.dataType.typeName() in
+                       ("string", "long", "integer", "double", "float",
+                        "boolean")]
     parts = []
     for c in cols:
         typ = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)[c]
-        if typ == "string":
+        if typ == "boolean":
+            parts.append(df.agg(
+                F.lit(c).alias("column"),
+                F.count(F.col(c)).alias("n"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+                F.approx_count_distinct(c).alias("approx_distinct"),
+                F.avg(F.col(c).cast("int")).alias("avg_len"),
+                F.max(F.col(c).cast("int")).alias("max_len"),
+                F.lit(None).cast("long").alias("raw_bytes"),
+            ))
+        elif typ == "string":
             parts.append(df.agg(
                 F.lit(c).alias("column"),
                 F.count(F.col(c)).alias("n"),
