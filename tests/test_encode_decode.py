@@ -393,3 +393,32 @@ def test_register_view_sql(spark, tmp_path):
     want = {r["lang"]: r["n"] for r in
             df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert got == want
+
+
+def test_determinism_mixed_types_across_parallelism(spark, tmp_path):
+    """Byte-determinism holds for float/bool/list columns too: identical
+    block payloads whatever the input partitioning."""
+    import hashlib
+
+    rows = [(f"org{j % 2}/r", f"f{j}.py", f"{j % 5:040x}", "py",
+             f"x = {j}", float(j % 7) / 3.0, j % 3 == 0,
+             [f"t{j % 4}", "c"], [float(j), 0.5]) for j in range(400)]
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string, quality double, flag boolean, "
+           "tags array<string>, scores array<double>")
+    digests = []
+    for n_input_parts in (2, 7):
+        out = str(tmp_path / f"m{n_input_parts}")
+        df = spark.createDataFrame(rows, ddl).repartition(n_input_parts)
+        encode(spark, df, out, batch_size=100, target_rows=200)
+        per_part = {}
+        for f in sorted(glob.glob(f"{out}/data/*.parquet")):
+            t = pq.read_table(f)
+            h = hashlib.sha256()
+            for col in ("column", "codec", "meta"):
+                h.update("".join(t.column(col).to_pylist()).encode())
+            for d in t.column("data").to_pylist():
+                h.update(d)
+            per_part[os.path.basename(f)] = h.hexdigest()
+        digests.append(per_part)
+    assert digests[0] == digests[1]
