@@ -364,17 +364,25 @@ def q_multimodal_meta(spark, sf_dir):
         F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("checksum"))
 
 
-# non-SQL-expressible (vectorized Arrow kernel path): no oracle — the
-# driver records a rows-only check for these.
 def q_encode_roundtrip(spark, sf_dir):
-    """Flagship: full encode of a corpus slice + decode + sha match count."""
+    """Flagship: full encode + decode + per-row sha256 match count over
+    the driver's own documents table (reshaped to corpus columns, the
+    same adapter as q_source_scan).  Every row must survive the codec
+    kernels bit-identically for n_matched to equal count(*) — which is
+    exactly what the DuckDB oracle asserts, mirroring the reference's
+    golden end-to-end (/root/reference/src/lib.rs:127-257)."""
     import tempfile
 
-    from vcf2parquet_spark import synth_corpus, encode
+    from vcf2parquet_spark import encode
     from vcf2parquet_spark.decode import decode as dec
 
     out = tempfile.mkdtemp(prefix="vp_entry_") + "/blocks"
-    df = synth_corpus(spark, 2000, seed=42)
+    df = _doc(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
     encode(spark, df, out, batch_size=1000, target_rows=1000)
     decoded = dec(spark, out)
     a = df.select("repo", "path", F.sha2("content", 256).alias("sha"))
@@ -919,8 +927,13 @@ def oracle_sql() -> dict[str, str]:
                    sha256(sampled) AS checksum
             FROM s
         """,
-        # encode_roundtrip: vectorized Arrow codec-kernel path, not
-        # SQL-expressible -> rows-only check (omitted on purpose)
+        # encode_roundtrip's Spark side intersects input vs decoded
+        # (repo, path, sha256) — a count equal to count(*) proves every
+        # row round-tripped bit-identically through the codec kernels
+        # (doc_id is unique, so the distinct intersect loses no rows)
+        "encode_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS n_matched FROM documents
+        """,
     } | {"ann_buckets": _ann_buckets_sql(),
          "embedding_near_dups": _near_dups_sql()}
 

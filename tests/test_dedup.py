@@ -127,3 +127,32 @@ def test_dedup_clusters_connected_components(spark):
     # representatives = rows where id == cluster_id
     reps = sorted(k for k, v in got.items() if k == v)
     assert reps == [1, 10, 20]
+
+
+def test_dedup_clusters_chain_log_rounds(spark):
+    """1000-node chain (diameter 999): the large-star/small-star
+    contraction must converge in O(log d) rounds, not d — plain
+    min-label propagation would need ~999 joins here."""
+    import math
+
+    from vcf2parquet_spark.functions.dedup import dedup_clusters
+    n = 1000
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "left_id long, right_id long")
+    stats: dict = {}
+    labels = dedup_clusters(pairs, max_iter=20, stats=stats)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["converged"]
+    assert stats["rounds"] <= math.ceil(math.log2(n - 1)) + 4
+
+
+def test_dedup_clusters_raises_on_budget_exhausted(spark):
+    """Silently returning unconverged labels under-merges; must raise."""
+    import pytest
+
+    from vcf2parquet_spark.functions.dedup import dedup_clusters
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "left_id long, right_id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=1)

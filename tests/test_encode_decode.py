@@ -95,6 +95,24 @@ def test_resume_skips_committed(spark, corpus, encoded):
     assert res["ok"], res
 
 
+def test_verify_null_keys_and_content(spark, tmp_path):
+    """NULLs in key columns (and NULL content, whose sha2 is NULL) must
+    still match their round-tripped twins: verify joins with null-SAFE
+    equality, not the name-list `=` that drops NULL keys on both sides."""
+    rows = [("org/r", "a.py", "c" * 40, None, "x = 1"),
+            ("org/r", "b.py", "d" * 40, "py", None),
+            (None, "c.py", "e" * 40, "py", "y = 2"),
+            ("org/r", "d.py", "f" * 40, "py", "z = 3")]
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string")
+    df = spark.createDataFrame(rows, ddl)
+    out = str(tmp_path / "blocks_nulls")
+    encode(spark, df, out, EncodeOptions(target_rows=10))
+    res = verify(spark, df, out)
+    assert res["ok"], res
+    assert res["rows_in"] == res["rows_out"] == 4
+
+
 def test_determinism_across_parallelism(spark, corpus, tmp_path):
     """Block bytes must be identical no matter the input partitioning
     (SURVEY §7 'byte-determinism of encoded blocks across partition
@@ -128,6 +146,45 @@ def test_partition_plan_salting():
     assert by_repo["a"]["base_part_id"] == by_repo["b"]["base_part_id"] \
         == by_repo["mid"]["base_part_id"]
     assert n == 5
+
+
+def test_partition_plan_scales_to_1e6_repos():
+    """Driver-side planning must stay sub-linear in open bins: 10^6
+    repo counts plan in seconds (the unbounded FFD scan was
+    O(#repos × #bins) — a driver stall at web scale)."""
+    import random
+    import time
+
+    rng = random.Random(7)
+    counts = [(f"r{i}", rng.randint(1, 5_000)) for i in range(1_000_000)]
+    t0 = time.time()
+    plan, n = plan_partitions(counts, target_rows=250_000)
+    dt = time.time() - t0
+    assert dt < 5.0, f"planning took {dt:.1f}s"
+    assert len(plan) == 1_000_000
+    # packing quality: shared units still land near target (within 2x
+    # of the unbounded-FFD bin count)
+    total = sum(c for _, c in counts)
+    assert n <= 2 * (total // 250_000 + 1)
+
+
+def test_nullable_false_rejects_nulls(spark, tmp_path):
+    """EncodeOptions(nullable=False) = strict schema (the reference's
+    --info-optional off state, cli.rs:69-71): NULLs raise SchemaError
+    instead of encoding a validity bitmap."""
+    rows = [("org/r", "a.py", "c" * 40, None, "x = 1"),
+            ("org/r", "b.py", "d" * 40, "py", "y = 2")]
+    ddl = ("repo string, path string, commit string, lang string, "
+           "content string")
+    df = spark.createDataFrame(rows, ddl)
+    with pytest.raises(Exception, match="nullable=False"):
+        encode(spark, df, str(tmp_path / "strict"),
+               EncodeOptions(target_rows=10, nullable=False))
+    # clean corpus passes under strict mode
+    clean = df.filter(df.lang.isNotNull())
+    job = encode(spark, clean, str(tmp_path / "strict_ok"),
+                 EncodeOptions(target_rows=10, nullable=False))
+    assert job["n_rows"] == 1
 
 
 def test_decode_with_derived_columns(spark, corpus, encoded):

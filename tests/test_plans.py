@@ -73,6 +73,11 @@ def test_profile_df_is_single_scan_partial_agg(spark, corpus_path):
     assert "HashAggregate" in s or "SortAggregate" in s or "ObjectHashAggregate" in s
     # aggregation happens before the exchange (partial agg present)
     assert "partial" in s.lower()
+    # ONE scan regardless of column count: the old per-column agg +
+    # unionByName shape re-read the table #columns times
+    multi = profile_df(df)          # all profile-able columns at once
+    sm = _plan(multi, "simple")
+    assert sm.count("Scan parquet") == 1, sm
 
 
 def test_cosine_topk_broadcasts_queries(spark):

@@ -72,9 +72,12 @@ def test_source_xz_roundtrip(spark, small_corpus, tmp_path):
     for fmt in ("jsonl", "csv"):
         # jsonl carries the full adversarial fixture (NULs, control
         # chars); csv is limited by the CSV format itself, so that leg
-        # tests the xz transport on control-char-free rows only
+        # tests the xz transport on control-char-free rows only — and
+        # excludes empty strings, which Spark's CSV reader (and, for
+        # parity, the .xz path) reads back as NULL (nullValue="")
         expect = (small_corpus if fmt == "jsonl" else small_corpus.filter(
-            ~F.col("content").rlike("[\\x00-\\x08\\x0b-\\x1f]")))
+            ~F.col("content").rlike("[\\x00-\\x08\\x0b-\\x1f]")
+            & (F.length("content") > 0)))
         rows = expect.collect()
         d = tmp_path / f"xz_{fmt}"
         os.makedirs(d)
@@ -106,3 +109,45 @@ def test_source_xz_roundtrip(spark, small_corpus, tmp_path):
 def test_source_xz_bad_base_format(spark, tmp_path):
     with pytest.raises(SchemaError):
         read_corpus(spark, str(tmp_path), fmt="avro.xz")
+
+
+def test_source_csv_xz_null_parity(spark, tmp_path):
+    """Empty CSV fields decode to NULL on BOTH the native Spark CSV
+    path and the binaryFile+lzma .xz path (Spark's nullValue="" default
+    vs pandas' keep_default_na) — same corpus, same nulls, regardless
+    of compression extension.  Literal "NA" stays text on both."""
+    import lzma
+    import os
+
+    body = ("repo,path,commit,lang,content\n"
+            "org/r,a.py," + "c" * 40 + ",,x = 1\n"
+            "org/r,b.py," + "d" * 40 + ",py,\n"
+            "org/r,c.py," + "e" * 40 + ",NA,y = 2\n")
+    d_plain = tmp_path / "plain"
+    d_xz = tmp_path / "xz"
+    os.makedirs(d_plain)
+    os.makedirs(d_xz)
+    (d_plain / "part-0.csv").write_text(body)
+    with lzma.open(d_xz / "part-0.csv.xz", "wt") as f:
+        f.write(body)
+    a = read_corpus(spark, str(d_plain), fmt="csv")
+    b = read_corpus(spark, str(d_xz), fmt="csv.xz")
+    ra = sorted([tuple(r) for r in a.collect()])
+    rb = sorted([tuple(r) for r in b.collect()])
+    assert ra == rb
+    assert ra[0][3] is None          # empty lang -> NULL on both
+    assert ra[1][4] is None          # empty content -> NULL on both
+    assert ra[2][3] == "NA"          # literal NA stays text on both
+
+
+def test_list_offsets_int32_overflow_guard():
+    """A list block whose child count exceeds 2^31-1 must raise, not
+    silently wrap into corrupt offsets (ADVICE r2)."""
+    import numpy as np
+
+    from vcf2parquet_spark.kernels import _i32_offsets
+
+    ok = _i32_offsets(np.array([0, 5, 9], dtype=np.int64))
+    assert ok.dtype == np.int32 and list(ok) == [0, 5, 9]
+    with pytest.raises(CodecError, match="overflows int32"):
+        _i32_offsets(np.array([0, 2**31], dtype=np.int64))

@@ -187,11 +187,17 @@ def decode(spark: SparkSession, output: str,
                 bidx = t.column("block_idx").to_numpy()
                 names = t.column("column").to_pylist()
                 metas = t.column("meta").to_pylist()
-                datas = t.column("data").to_pylist()
+                # zero-copy payload views: BinaryScalar.as_buffer()
+                # aliases the Arrow value buffer — .to_pylist() here
+                # would copy every encoded byte into Python bytes
+                # objects before the kernels even see them (kernels
+                # slice via get_section and np.frombuffer, both
+                # memoryview-safe)
+                data_arr = t.column("data").combine_chunks()
                 blocks: dict[int, dict] = {}
                 for i in range(len(bidx)):
                     blocks.setdefault(int(bidx[i]), {})[names[i]] = (
-                        datas[i], metas[i])
+                        memoryview(data_arr[i].as_buffer()), metas[i])
                 for bi in sorted(blocks):
                     by_col = blocks[bi]
                     yield pa.record_batch(
@@ -244,6 +250,7 @@ def verify(spark: SparkSession, df: DataFrame, output: str) -> dict:
     """
     decoded = decode(spark, output)
     cols = [c for c in df.columns if c != "content"]
+    keys = [*cols, "content_sha"]
 
     def counted(d: DataFrame, side: str) -> DataFrame:
         return (d.select(*cols,
@@ -251,10 +258,16 @@ def verify(spark: SparkSession, df: DataFrame, output: str) -> dict:
                 .groupBy(*cols, "content_sha")
                 .agg(F.count("*").alias(side)))
 
-    j = (counted(df, "n_a")
-         .join(counted(decoded, "n_b"), [*cols, "content_sha"], "full_outer")
-         .select(F.coalesce("n_a", F.lit(0)).alias("n_a"),
-                 F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    # Null-SAFE key equality: name-list joins use null-unsafe `=`, so a
+    # NULL in any key column (or sha2(NULL) = NULL content) would never
+    # match its round-tripped twin and report phantom missing/extra.
+    a, b = counted(df, "n_a").alias("a"), counted(decoded, "n_b").alias("b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+    j = (a.join(b, cond, "full_outer")
+         .select(F.coalesce("a.n_a", F.lit(0)).alias("n_a"),
+                 F.coalesce("b.n_b", F.lit(0)).alias("n_b")))
     r = j.agg(
         F.coalesce(F.sum("n_a"), F.lit(0)).alias("rows_in"),
         F.coalesce(F.sum("n_b"), F.lit(0)).alias("rows_out"),

@@ -70,6 +70,12 @@ class EncodeOptions:
     batch_size: int = DEFAULT_BATCH
     target_rows: int = DEFAULT_TARGET_ROWS
     codec_overrides: dict = field(default_factory=dict)
+    nullable: bool = True     # False = strict schema: any NULL in any
+                              # input column raises SchemaError instead
+                              # of encoding a validity bitmap (the
+                              # reference's --info-optional flips INFO
+                              # fields between nullable and required —
+                              # cli.rs:69-71, schema.rs:86-124)
     resume: bool = True
     derived_columns: bool = True
     sort_columns: tuple = ("repo", "path", "commit", "content")
@@ -98,32 +104,50 @@ def plan_partitions(counts: list[tuple[str, int]], target_rows: int,
     small repos are packed first-fit into shared units.  ``offset``
     namespaces the ids (used by incremental/streaming appends).
     """
-    hot = sorted([(r, c) for r, c in counts if c > target_rows],
-                 key=lambda x: (-x[1], x[0]))
-    small = sorted([(r, c) for r, c in counts if c <= target_rows],
-                   key=lambda x: (-x[1], x[0]))
-    plan: list[dict] = []
-    next_id = offset
-    for repo, c in hot:
-        fanout = math.ceil(c / target_rows)
-        plan.append({"repo": repo, "base_part_id": next_id, "fanout": fanout})
-        next_id += fanout
-    # first-fit-decreasing packing of small repos into shared units
-    bins: list[int] = []       # remaining capacity per shared unit
-    bin_ids: list[int] = []
-    for repo, c in small:
-        placed = False
-        for i in range(len(bins)):
-            if bins[i] >= c:
-                bins[i] -= c
-                plan.append({"repo": repo, "base_part_id": bin_ids[i], "fanout": 1})
-                placed = True
-                break
-        if not placed:
-            bins.append(target_rows - c)
-            bin_ids.append(next_id)
-            plan.append({"repo": repo, "base_part_id": next_id, "fanout": 1})
-            next_id += 1
+    # Fully vectorized planning (C-level sort + prefix sums): the
+    # previous first-fit-decreasing scan was O(#small × #bins) driver
+    # Python — a stall at 10^7+ repos; even Python-lambda sorts cost
+    # seconds at 10^6.  NULL repo is a legal group (maps to the
+    # empty-string sort slot with a null flag so mixed None/str keys
+    # never TypeError on count ties).
+    import numpy as np
+    n_in = len(counts)
+    if n_in == 0:
+        return [], offset
+    cnt = np.fromiter((c for _, c in counts), dtype=np.int64, count=n_in)
+    nulls = np.fromiter((r is None for r, _ in counts), dtype=bool,
+                        count=n_in)
+    names = np.array([r or "" for r, _ in counts])
+    # sort: count desc, then non-null-before-check, then repo asc
+    order = np.lexsort((names, nulls, -cnt))
+    cnt, nulls, names = cnt[order], nulls[order], names[order]
+    hot_n = int(np.searchsorted(-cnt, -target_rows, side="left"))
+
+    # hot repos: one salted unit range each, fanout = ceil(count/target)
+    fanout = -(-cnt[:hot_n] // target_rows)
+    hot_base = offset + np.concatenate(
+        ([0], np.cumsum(fanout)[:-1])).astype(np.int64)
+    next_id = offset + (int(fanout.sum()) if hot_n else 0)
+
+    # small repos: shared units by prefix-sum chunking over the
+    # size-descending order — unit = (rows before this repo) // target.
+    # Row balance is exactly ceil(total/target) units of ~target rows
+    # (a unit exceeds target by at most one small repo, < 2×target).
+    small_cnt = cnt[hot_n:]
+    starts = np.cumsum(small_cnt) - small_cnt
+    unit = next_id + starts // target_rows
+
+    # .tolist() first: per-element numpy scalar extraction inside the
+    # comprehensions costs ~10x more than one bulk conversion
+    nl, nm = nulls.tolist(), names.tolist()
+    repos = [None if nl[i] else nm[i] for i in range(n_in)]
+    hb, fo, un = hot_base.tolist(), fanout.tolist(), unit.tolist()
+    plan = [{"repo": repos[i], "base_part_id": hb[i], "fanout": fo[i]}
+            for i in range(hot_n)]
+    plan += [{"repo": repos[hot_n + j], "base_part_id": un[j], "fanout": 1}
+             for j in range(n_in - hot_n)]
+    if n_in - hot_n:
+        next_id = int(unit[-1]) + 1
     return plan, next_id
 
 
@@ -181,6 +205,14 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
     bytes and the content digest are identical whichever path sorted).
     """
     t0 = time.time()
+    if not opts.nullable:
+        bad = {c: t.column(c).null_count for c in t.column_names
+               if t.column(c).null_count}
+        if bad:
+            from vcf2parquet_spark.errors import SchemaError
+            raise SchemaError(
+                f"nullable=False but partition {part_id} has NULLs in "
+                f"{sorted(bad)} (counts {bad})")
     sort_keys = [(c, "ascending") for c in opts.sort_columns
                  if c in t.column_names]
     if sort_keys and not already_sorted:
@@ -285,9 +317,15 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     # 2. checkpoint: skip committed partitions (exact resume)
     committed = set(tbl.committed_parts(output)) if opts.resume else set()
 
-    # 3. assign part ids: broadcast join + deterministic salt for hot repos
+    # 3. assign part ids: broadcast join + deterministic salt for hot
+    # repos.  Null-SAFE on repo (still a BroadcastHashJoin — Spark
+    # treats eqNullSafe as an equi-join key): a name-list join would
+    # silently DROP every NULL-repo row from the encode.
+    plan_r = plan_df.withColumnRenamed("repo", "_plan_repo")
     with_part = (
-        df.join(F.broadcast(plan_df), "repo")
+        df.join(F.broadcast(plan_r),
+                F.col("repo").eqNullSafe(F.col("_plan_repo")))
+        .drop("_plan_repo")
         .withColumn(
             "part_id",
             (F.col("base_part_id")

@@ -122,10 +122,20 @@ def lsh_candidates(sigs: DataFrame, key_col: str = "doc_id",
     buckets = band_rows[0]
     for extra in band_rows[1:]:
         buckets = buckets.unionByName(extra)
+    # Pre-drop over-cap (band, bucket) keys with a COUNT aggregate +
+    # broadcast anti-join BEFORE collect_set: counting is map-side
+    # combinable and O(1) memory per key, so a boilerplate mega-bucket
+    # never materializes as one giant array in a single aggregation
+    # buffer (a post-hoc size filter would bound only the pair
+    # explosion, not executor memory).
+    hot = (buckets.groupBy("band", "bucket")
+           .agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > max_bucket)
+           .select("band", "bucket"))
+    buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     grouped = (buckets.groupBy("band", "bucket")
                .agg(F.array_sort(F.collect_set(key_col)).alias("ks"))
-               .filter((F.size("ks") >= 2)
-                       & (F.size("ks") <= max_bucket)))
+               .filter(F.size("ks") >= 2))
     # narrow pair expansion: for each id at position i, pair it with
     # every later id — flatten(transform x transform) stays inside
     # whole-stage codegen, no join
@@ -213,49 +223,104 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
               .select("left_id", "right_id", "n_common", "jaccard")
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node connects its strictly-LARGER
+    neighbours to the minimum of its closed neighbourhood."""
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"),
+                                         F.col("src").alias("dst")))
+    g = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    return (sym.join(g, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"),
+                    F.least(F.col("src"), F.col("_mn")).alias("dst"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge large→small, then every node
+    connects its (all-smaller) neighbours AND itself to the minimum."""
+    oriented = edges.select(F.greatest("src", "dst").alias("src"),
+                            F.least("src", "dst").alias("dst"))
+    g = oriented.groupBy("src").agg(F.min("dst").alias("_mn"))
+    nbrs = (oriented.join(g, "src")
+            .select(F.col("dst").alias("v"), F.col("_mn")))
+    selfs = g.select(F.col("src").alias("v"), F.col("_mn"))
+    return (nbrs.unionByName(selfs)
+            .filter(F.col("v") != F.col("_mn"))
+            .select(F.col("v").alias("src"), F.col("_mn").alias("dst"))
+            .distinct())
+
+
 def dedup_clusters(pairs: DataFrame, key_col: str = "doc_id",
-                   max_iter: int = 25) -> DataFrame:
+                   max_iter: int = 25,
+                   stats: dict | None = None) -> DataFrame:
     """Resolve candidate duplicate PAIRS into duplicate CLUSTERS:
     connected components with the minimum member id as the canonical
     representative.  Returns (key_col, cluster_id) for every id that
     appears in ``pairs``; keep rows where id == cluster_id to pick one
     representative per group.
 
-    Algorithm: iterative min-label propagation — each round every node
-    takes the min of its own label and its neighbours' labels (one
-    equi-join + one groupBy per round, both map-side combinable).
-    Rounds needed = graph diameter; near-dup graphs are dense small
-    cliques (LSH links most members pairwise), so convergence is
-    typically 2-3 rounds.  Each round materializes (the convergence
-    check is the action) and the previous round is unpersisted, so plan
-    lineage stays constant-size.  ``max_iter`` is a pathological-chain
-    backstop.
+    Algorithm: alternating large-star/small-star contraction (Kiveris
+    et al. 2014) — each round is two groupBy+join passes, and the edge
+    set contracts toward per-component stars in O(log d) rounds for
+    diameter-d graphs (plain min-label propagation needs d rounds, so a
+    chain-shaped duplicate graph would blow the iteration budget).
+    Each round ``localCheckpoint``s the new edge set — a plain persist
+    keeps the full logical plan, which doubles in size every round
+    (union + two joins + distinct per star), so by round ~15 the plan
+    string alone exceeds 2 GB and planning dominates; the checkpoint
+    truncates lineage to the materialized blocks, keeping per-round
+    planning O(1).  On a real cluster the same loop would use reliable
+    ``checkpoint()`` to HDFS for fault tolerance; executor-local blocks
+    are the right trade in a single-host session.  Superseded rounds'
+    blocks are GC-reclaimed with their DataFrames (ContextCleaner); the
+    loop additionally materializes only via the convergence-signature
+    aggregate, one action per round.
+
+    Raises :class:`RuntimeError` if ``max_iter`` rounds pass without
+    convergence — silently returning unconverged labels would split one
+    duplicate group into several and under-merge.  ``stats`` (optional
+    dict) receives {"rounds": k, "converged": bool} for observability.
     """
-    e = pairs.select(F.col("left_id").alias("src"),
-                     F.col("right_id").alias("dst"))
-    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
-                                    F.col("src").alias("dst")))
-             .distinct().persist())
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")).persist())
-    labels.count()
+    e = (pairs.select(F.col("left_id").alias("src"),
+                      F.col("right_id").alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    edges = e.distinct().localCheckpoint(eager=True)
+
+    def sig(d: DataFrame) -> tuple:
+        # bit_xor fold of per-edge hashes: commutative, duplicate-free
+        # input (edges are distinct), and — unlike sum — cannot overflow
+        # under ANSI mode
+        r = d.agg(F.count("*").alias("n"),
+                  F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"),
+                             F.lit(0)).alias("h")).collect()[0]
+        return (r["n"], r["h"])
+
+    prev = None
+    rounds = 0
+    converged = False
     for _ in range(max_iter):
-        nbr = (edges.join(labels.withColumnRenamed("id", "src"), "src")
-               .select(F.col("dst").alias("id"), "label"))
-        new_labels = (labels.unionByName(nbr)
-                      .groupBy("id").agg(F.min("label").alias("label"))
-                      .persist())
-        changed = (new_labels.withColumnRenamed("label", "new_label")
-                   .join(labels, "id")
-                   .filter(F.col("new_label") < F.col("label"))
-                   .count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        rounds += 1
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = sig(edges)
+        if cur == prev:
+            converged = True
             break
-    edges.unpersist()
-    return labels.select(F.col("id").alias(key_col),
-                         F.col("label").alias("cluster_id"))
+        prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — "
+            "raise max_iter (log2(component diameter) + ~3 suffices)")
+    # at convergence the edge set is a star forest: (member, root)
+    roots = edges.select(F.col("dst").alias("src"),
+                         F.col("dst").alias("dst")).distinct()
+    return (edges.unionByName(roots)
+            .select(F.col("src").alias(key_col),
+                    F.col("dst").alias("cluster_id")))
 
 
 def embedding_near_dups(df: DataFrame, threshold: float = 0.2,

@@ -204,7 +204,7 @@ def _decode_column(payload: bytes, meta: dict) -> pa.Array:
         child = decode_column(get_section(payload, meta["sections"], "child"),
                               meta["child"])
         values = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), child)
+            pa.array(_i32_offsets(offsets), type=pa.int32()), child)
         if not n_nulls:
             return values
         valid = unpack_validity(
@@ -267,6 +267,19 @@ def _scatter_valid_str(values: pa.Array, valid: np.ndarray) -> pa.Array:
     return pa.compute.if_else(mask, pa.scalar(None, pa.string()), taken)
 
 
+def _i32_offsets(offsets: np.ndarray) -> np.ndarray:
+    """Checked int64→int32 narrowing for Arrow list offsets: a block
+    whose total child-element count exceeds 2^31-1 must fail loudly,
+    not wrap into silently corrupt lists (blocks are bounded well below
+    this by batch_size, so hitting it means a mis-framed payload)."""
+    if len(offsets) and int(offsets[-1]) > np.iinfo(np.int32).max:
+        from vcf2parquet_spark.errors import CodecError
+        raise CodecError(
+            f"list block child count {int(offsets[-1])} overflows int32 "
+            "offsets")
+    return offsets.astype(np.int32)
+
+
 def _scatter_valid_list(values: pa.ListArray, valid: np.ndarray) -> pa.Array:
     """Re-insert nulls into a null-free list array per validity mask:
     null rows get a zero-length span and a null offset slot (Arrow's
@@ -279,7 +292,7 @@ def _scatter_valid_list(values: pa.ListArray, valid: np.ndarray) -> pa.Array:
     np.cumsum(lens, out=offsets[1:])
     # a null in offsets[i] marks list i null (i < n; the final slot stays valid)
     mask = np.append(~valid, False)
-    off_arr = pa.array(offsets.astype(np.int32), mask=mask)
+    off_arr = pa.array(_i32_offsets(offsets), mask=mask)
     return pa.ListArray.from_arrays(off_arr, values.flatten())
 
 

@@ -14,12 +14,15 @@ vectorized pandas/Arrow UDFs — per-row Python is banned):
 * longest-match search is data-parallel and longest-first: length-1/2
   symbols via direct 256/65536-entry lookup tables; lengths 3..8 via a
   2-byte-prefix prefilter plus ``np.searchsorted`` probes over the
-  (shrinking) still-unmatched candidate set;
+  (shrinking) still-unmatched candidate set — computed ONCE for every
+  byte position of a chunk in full-width vectorized passes (matching
+  inside the wavefront loop re-ran these ops on small frontiers, where
+  fixed numpy call overhead dominated: measured 3-4x slower);
 * the inherently sequential greedy parse (next position depends on the
-  matched length) is recovered with a *per-string wavefront*: all
-  strings advance one token per wave with active-set compaction —
-  O(total tokens) work since symbols never cross string boundaries —
-  with a pointer-doubling fallback for pathologically long strings;
+  matched length) is recovered with a *per-string wavefront walk* over
+  the precomputed step array: all strings advance one token per wave
+  with active-set compaction — O(total tokens) gathers — with a
+  pointer-doubling fallback for pathologically long strings;
 * output assembly (codes, escapes, per-string offsets) is pure
   scatter/cumsum.
 
@@ -45,22 +48,25 @@ MAX_SYMS = 255
 MAX_LEN = 8
 BUILD_ITERS = 5       # paper uses a small fixed number of refinement rounds
 SAMPLE_TARGET = 1 << 16
-CHUNK_BYTES = 1 << 26  # encode/decode in ~64 MiB chunks: bounds memory
-                       # (key8 = 8x chunk) while keeping the wavefront
-                       # full — bigger chunks = fewer, fuller wave calls
+CHUNK_BYTES = 1 << 23  # process ~8 MiB of string bytes per chunk: the
+                       # match-all pass holds key8 (8x) + rem/ends (16x)
+                       # per chunk, so this bounds transient memory to
+                       # ~200 MB/worker while keeping full-width numpy
+                       # passes (32 concurrent workers share one host)
 WAVE_CAP = 1 << 14     # wavefront rounds before pointer-doubling fallback
-PRECOMPUTE_KEYS = False  # False: per-frontier key gathers (memory-lean,
-                         # ~15% more CPU) — right default for many
-                         # concurrent workers; True: 8n-byte key table
 
 _MASKS = np.array([0] + [(1 << (8 * L)) - 1 for L in range(1, 9)], dtype=np.uint64)
+# _ALLOWED[r] = bitmask of symbol lengths 3..8 (bit L-3) that fit in a
+# string with r bytes remaining (clamped at 8)
+_ALLOWED = np.array([sum(1 << (L - 3) for L in range(3, 9) if r >= L)
+                     for r in range(9)], dtype=np.uint8)
 
 
 class SymbolTable:
     """Static symbol table: symbols[i] has code i; derived lookup indexes."""
 
     __slots__ = ("lens", "flat", "off", "byte_codes", "code2", "lut",
-                 "pref2", "n_syms")
+                 "prefbits", "n_syms")
 
     def __init__(self, symbols: list[bytes]):
         assert len(symbols) <= MAX_SYMS
@@ -73,9 +79,12 @@ class SymbolTable:
         # length-1: byte value -> code; length-2: u16 (LE) -> code
         self.byte_codes = np.full(256, ESCAPE, dtype=np.uint8)
         self.code2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
-        # lengths 3..8: sorted key arrays + 2-byte-prefix prefilter bitmaps
+        # lengths 3..8: sorted key arrays + ONE combined 2-byte-prefix
+        # bitmask table (prefbits[u16] has bit L-3 set iff some length-L
+        # symbol starts with those two bytes) — a single gather serves
+        # all six lengths in the matcher's hot loop
         self.lut: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        self.pref2: dict[int, np.ndarray] = {}
+        self.prefbits = np.zeros(1 << 16, dtype=np.uint8)
         by_len: dict[int, list[tuple[int, int]]] = {}
         for code, s in enumerate(symbols):
             if len(s) == 1:
@@ -90,9 +99,8 @@ class SymbolTable:
             keys = np.array([k for k, _ in pairs], dtype=np.uint64)
             codes = np.array([c for _, c in pairs], dtype=np.uint8)
             self.lut[L] = (keys, codes)
-            pref = np.zeros(1 << 16, dtype=bool)
-            pref[(keys & np.uint64(0xFFFF)).astype(np.uint32)] = True
-            self.pref2[L] = pref
+            self.prefbits[(keys & np.uint64(0xFFFF)).astype(np.uint32)] |= \
+                np.uint8(1 << (L - 3))
 
     def symbol(self, code: int) -> bytes:
         return self.flat[self.off[code] : self.off[code + 1]].tobytes()
@@ -104,19 +112,6 @@ def _window_keys(data: np.ndarray) -> np.ndarray:
     padded = np.concatenate([data, np.zeros(MAX_LEN, dtype=np.uint8)])
     win = np.lib.stride_tricks.sliding_window_view(padded, MAX_LEN)[:n]
     return np.ascontiguousarray(win).view(np.uint64).ravel()
-
-
-def _pad(data: np.ndarray) -> np.ndarray:
-    return np.concatenate([data, np.zeros(MAX_LEN, dtype=np.uint8)])
-
-
-def _keys_at(padded: np.ndarray, pos: np.ndarray) -> np.ndarray:
-    """LE uint64 window keys at selected positions only — 8 gathers of
-    |pos| beats materializing an 8×n key table (memory = fault tax)."""
-    k = padded[pos].astype(np.uint64)
-    for j in range(1, MAX_LEN):
-        k |= padded[pos + j].astype(np.uint64) << np.uint64(8 * j)
-    return k
 
 
 def _string_ends(offsets: np.ndarray) -> np.ndarray:
@@ -132,115 +127,91 @@ def _match_at(bytes_at: np.ndarray, k8: np.ndarray, rem: np.ndarray,
     Returns (step, code) arrays over the frontier; escape -> step 1.
     """
     f = len(k8)
-    step = np.ones(f, dtype=np.int64)
-    code = table.byte_codes[bytes_at].copy()      # len-1 match or ESCAPE
+    step = np.ones(f, dtype=np.int8)   # 1..8 — narrow: this array is
+    code = table.byte_codes[bytes_at]  # written/scanned at full width
     if f == 0:
         return step, code
-    u16 = (k8 & np.uint64(0xFFFF)).astype(np.uint32)
-    unmatched = np.ones(f, dtype=bool)
-    for L in range(MAX_LEN, 2, -1):               # 8..3 longest-first
-        ent = table.lut.get(L)
-        if ent is None:
-            continue
-        # direct ndarray methods: this is the innermost loop and the
-        # numpy wrapper layers (flatnonzero/_wrapfunc) are measurable
-        cand = (unmatched & table.pref2[L][u16] & (rem >= L)).nonzero()[0]
-        if len(cand) == 0:
-            continue
-        keys, codes = ent
-        kL = k8[cand] & _MASKS[L]
-        p = keys.searchsorted(kL)
-        pc = np.minimum(p, len(keys) - 1)
-        hit = keys[pc] == kL
-        hc = cand[hit]
-        step[hc] = L
-        code[hc] = codes[pc[hit]]
-        unmatched[hc] = False
+    # low 16 bits of each LE key = first two bytes: a zero-copy strided
+    # view beats two full-width passes (mask + cast) on 10^7 elements
+    u16 = np.ascontiguousarray(k8.view(np.uint16)[::4]) \
+        if k8.flags.c_contiguous \
+        else (k8 & np.uint64(0xFFFF)).astype(np.uint32)
+    matched = None
+    if table.lut:
+        # one combined-prefilter gather + one remaining-length gather
+        # serve ALL lengths; the per-length test is then a single
+        # uint8 bit-and + nonzero (direct ndarray methods: this is the
+        # innermost loop and numpy wrapper layers are measurable)
+        cand_bits = table.prefbits[u16]
+        cand_bits &= _ALLOWED[np.minimum(rem, MAX_LEN)]
+        matched = np.zeros(f, dtype=bool)
+        for L in range(MAX_LEN, 2, -1):           # 8..3 longest-first
+            ent = table.lut.get(L)
+            if ent is None:
+                continue
+            cand = (cand_bits & np.uint8(1 << (L - 3))).nonzero()[0]
+            if len(cand) == 0:
+                continue
+            keys, codes = ent
+            kL = k8[cand] & _MASKS[L]
+            p = keys.searchsorted(kL)
+            pc = np.minimum(p, len(keys) - 1)
+            hit = keys[pc] == kL
+            hc = cand[hit]
+            step[hc] = L
+            code[hc] = codes[pc[hit]]
+            cand_bits[hc] = 0                     # bar shorter matches
+            matched[hc] = True
     # length 2: direct 64K lookup, no search
     c2 = table.code2[u16]
-    hit2 = unmatched & (c2 != ESCAPE) & (rem >= 2)
+    hit2 = (c2 != ESCAPE) & (rem >= 2)
+    if matched is not None:
+        hit2 &= ~matched
     step[hit2] = 2
     code[hit2] = c2[hit2]
     return step, code
 
 
-def _parse(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
-           table: SymbolTable, key8: np.ndarray | None = None,
-           padded: np.ndarray | None = None
-           ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Fused greedy parse: per-string wavefront where each wave matches
-    only at the currently-visited positions (O(6 × tokens), not O(6 × n)).
+def _match_all(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
+               key8: np.ndarray | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Longest symbol match at EVERY byte position of ``data`` (which
+    ``offsets`` must cover contiguously), in one set of full-width
+    vectorized passes.  Returns (step, code) arrays over all positions.
 
-    ``starts``/``ends`` are absolute [start, end) spans into ``data`` for
-    the strings to parse, in any order — callers pass length-sorted
-    subsets WITHOUT physically gathering the bytes (the gather was the
-    single biggest memory cost of encode).  Positions in ``vis`` are
-    absolute into ``data``; ``counts`` aligns with ``starts``.
+    This is ~5x more raw match work than matching only at the ~n/2.5
+    positions the greedy parse visits — but it runs as a handful of
+    array-length numpy ops instead of thousands of frontier-sized ones,
+    which is 3-4x faster end-to-end (measured): the wavefront frontier
+    averages only a few hundred elements, where per-call numpy overhead
+    dominates.  The greedy parse then reduces to a gather-only walk
+    (:func:`_walk`) over the precomputed step array.
+    """
+    if key8 is None:
+        key8 = _window_keys(data)
+    rem = _string_ends(offsets) - np.arange(len(data), dtype=np.int64)
+    return _match_at(data, key8, rem, table)
+
+
+def _parse(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+           table: SymbolTable, key8: np.ndarray | None = None
+           ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Greedy parse = match-all + wavefront walk.
+
+    ``starts``/``ends`` must cover ``data`` contiguously (they define
+    the string boundaries the matcher must not cross).  Returns (vis:
+    visited token positions grouped by string, counts per string,
+    codes at vis, steps at vis).
     """
     n_str = len(starts)
     counts = np.zeros(n_str, dtype=np.int64)
     if n_str == 0 or len(data) == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, counts, z.astype(np.uint8), z
-    if key8 is None and PRECOMPUTE_KEYS:
-        key8 = _window_keys(data)
-    if key8 is None and padded is None:
-        padded = _pad(data)
-    ends_s = ends.astype(np.int64)
-    pos = starts.astype(np.int64)
-    sid = np.arange(n_str, dtype=np.int64)
-    alive = pos < ends_s
-    pos, sid = pos[alive], sid[alive]
-    waves: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
-    w = 0
-    # Once the frontier drains below ~1/16 of its start (the long-string
-    # tail), per-wave fixed numpy overhead dominates; switch those
-    # stragglers to one full-slice match + pointer-doubling walk each —
-    # the identical greedy parse, minus hundreds of near-empty waves.
-    # Capped at 512: the slice path is a per-string python loop, so for
-    # huge chunks the waves keep running until the tail is small.
-    tail_cut = max(32, min(len(pos) >> 4, 512))
-    while len(pos) > tail_cut and w < WAVE_CAP:
-        rem = ends_s[sid] - pos
-        k8 = key8[pos] if key8 is not None else _keys_at(padded, pos)
-        step, code = _match_at(data[pos], k8, rem, table)
-        waves.append((pos, sid, code, step))
-        counts[sid] += 1
-        pos = pos + step
-        alive = pos < ends_s[sid]
-        pos, sid = pos[alive], sid[alive]
-        w += 1
-    w_stop = w   # every surviving string has emitted exactly w_stop tokens
-    # tail / post-WAVE_CAP strings: match the full remaining slice once,
-    # then walk it (same greedy result).
-    extras: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
-    for p0, s0 in zip(pos.tolist(), sid.tolist()):
-        e0 = int(ends_s[s0])
-        sl = slice(p0, e0)
-        k8_sl = (key8[sl] if key8 is not None
-                 else _keys_at(padded, np.arange(p0, e0, dtype=np.int64)))
-        rem_sl = np.arange(e0 - p0, 0, -1, dtype=np.int64)
-        st, co = _match_at(data[sl], k8_sl, rem_sl, table)
-        ext = _visit_slice(st)
-        counts[s0] += len(ext)
-        extras.append((s0, p0 + ext, co[ext], st[ext]))
-    out_start = np.zeros(n_str + 1, dtype=np.int64)
-    np.cumsum(counts, out=out_start[1:])
-    m = int(out_start[-1])
-    vis = np.empty(m, dtype=np.int64)
-    codes = np.empty(m, dtype=np.uint8)
-    steps = np.empty(m, dtype=np.int64)
-    for wi, (p, s, c, st) in enumerate(waves):
-        dst = out_start[s] + wi
-        vis[dst] = p
-        codes[dst] = c
-        steps[dst] = st
-    for s0, p_ext, c_ext, st_ext in extras:
-        dst = slice(out_start[s0] + w_stop, out_start[s0 + 1])
-        vis[dst] = p_ext
-        codes[dst] = c_ext
-        steps[dst] = st_ext
-    return vis, counts, codes, steps
+    offsets = np.append(starts.astype(np.int64), int(ends[-1]))
+    step, code = _match_all(data, offsets, table, key8=key8)
+    vis, counts = _walk(step, starts.astype(np.int64), ends.astype(np.int64))
+    return vis, counts, code[vis], step[vis]
 
 
 def _visit_slice(step: np.ndarray) -> np.ndarray:
@@ -311,17 +282,15 @@ def _walk(step: np.ndarray, starts: np.ndarray, ends: np.ndarray
     return vis, counts
 
 
-def _encode_chunk(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
-                  table: SymbolTable, key8: np.ndarray | None = None,
-                  padded: np.ndarray | None = None
-                  ) -> tuple[np.ndarray, np.ndarray]:
-    """Encode one subset of strings (absolute spans, no byte gather).
-    Returns (enc bytes in subset order, enc offsets per subset string)."""
-    n_str = len(starts)
-    if n_str == 0 or int((ends - starts).sum()) == 0:
+def _encode_chunk(data: np.ndarray, offsets: np.ndarray,
+                  table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
+    """Encode one contiguous run of strings (``offsets`` local to
+    ``data``, starting at 0).  Returns (enc bytes, enc offsets)."""
+    n_str = len(offsets) - 1
+    if n_str == 0 or int(offsets[-1]) == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(n_str + 1, dtype=np.int64)
-    vis, counts, vcode, _steps = _parse(data, starts, ends, table,
-                                        key8=key8, padded=padded)
+    vis, counts, vcode, _steps = _parse(data, offsets[:-1], offsets[1:],
+                                        table)
     esc = vcode == ESCAPE
     emit = np.where(esc, 2, 1).astype(np.int64)
     out_pos = np.zeros(len(vis) + 1, dtype=np.int64)
@@ -497,34 +466,24 @@ def enc_fsst(arr: pa.Array) -> tuple[bytes, dict]:
     data, offsets = str_buffers(arr)
     table = build_table(data, offsets)
     n_str = len(offsets) - 1
-    # process strings ordered by length: chunk-mates finish the wavefront
-    # together, so no wave runs with a nearly-empty frontier (long-tail
-    # fix).  The ordering is by INDEX only — _parse takes absolute
-    # (start, end) spans, so the raw bytes are never gathered; only the
-    # (much smaller) encoded output is reassembled into row order.
-    lens = np.diff(offsets).astype(np.int64)
-    order = np.argsort(lens, kind="stable")
-    soffs = np.zeros(n_str + 1, dtype=np.int64)
-    np.cumsum(lens[order], out=soffs[1:])       # virtual sorted offsets
-    all_starts = offsets[:-1].astype(np.int64)
-    all_ends = offsets[1:].astype(np.int64)
-    padded = _pad(data)
+    # row-order contiguous chunks: the match-all pass is full-width
+    # vectorized regardless of string-length mix (no length sorting
+    # needed to keep a wavefront full — _walk's pointer-doubling tail
+    # switch absorbs stragglers), each chunk's bytes are a zero-copy
+    # view, and encoded output lands directly in row order.
+    offs64 = offsets.astype(np.int64)
     enc_parts: list[np.ndarray] = []
-    enc_offsets_sorted = np.zeros(n_str + 1, dtype=np.int64)
+    enc_offsets = np.zeros(n_str + 1, dtype=np.int64)
     base = 0
-    for lo, hi in _chunk_bounds(soffs, CHUNK_BYTES):
-        idx = order[lo:hi]
-        enc, eoffs = _encode_chunk(data, all_starts[idx], all_ends[idx],
-                                   table, padded=padded)
+    for lo, hi in _chunk_bounds(offs64, CHUNK_BYTES):
+        b0, b1 = int(offs64[lo]), int(offs64[hi])
+        enc, eoffs = _encode_chunk(data[b0:b1], offs64[lo : hi + 1] - b0,
+                                   table)
         enc_parts.append(enc)
-        enc_offsets_sorted[lo : hi + 1] = eoffs + base
+        enc_offsets[lo : hi + 1] = eoffs + base
         base += len(enc)
-    enc_sorted = (np.concatenate(enc_parts) if enc_parts
-                  else np.zeros(0, np.uint8))
-    # reassemble in original row order
-    rank = np.empty(n_str, dtype=np.int64)
-    rank[order] = np.arange(n_str, dtype=np.int64)
-    enc_all, enc_offsets = _gather_strings(enc_sorted, enc_offsets_sorted, rank)
+    enc_all = (np.concatenate(enc_parts) if enc_parts
+               else np.zeros(0, np.uint8))
     po, mo = for_pack(np.diff(enc_offsets).astype(np.int64))
     payload, sections = pack_sections({
         "tlens": table.lens.astype(np.uint8).tobytes(),
@@ -569,7 +528,7 @@ def dec_fsst(payload: bytes, meta: dict) -> pa.Array:
     np.cumsum(enc_lens_i[order], out=soffs[1:])
     all_starts = enc_offsets[:-1].astype(np.int64)
     all_ends = enc_offsets[1:].astype(np.int64)
-    step_in = np.where(enc == ESCAPE, 2, 1).astype(np.int64)
+    step_in = np.where(enc == ESCAPE, np.int8(2), np.int8(1))
     out_parts: list[np.ndarray] = []
     out_offsets_sorted = np.zeros(n_str + 1, dtype=np.int64)
     base = 0

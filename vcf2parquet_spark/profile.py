@@ -183,48 +183,50 @@ def profile_table(tbl: pa.Table) -> dict[str, dict]:
 
 
 def profile_df(df, columns: list[str] | None = None):
-    """Cluster-wide profile via built-in aggregates (one scan, map-side
-    partials; no UDF).  Returns a small DataFrame: one row per column."""
+    """Cluster-wide profile via built-in aggregates.  Returns a small
+    DataFrame: one row per column (column, n, n_nulls, approx_distinct,
+    avg_len, max_len, raw_bytes).
+
+    ONE scan regardless of column count: every column's aggregates run
+    in a single ``df.agg()`` (map-side partial combine, no UDF), and the
+    one-row result is unpivoted to rows via a struct-array explode —
+    Catalyst does NOT share the scan across union branches, so the
+    previous one-``agg``-per-column + ``unionByName`` shape re-read the
+    table #columns times (at 100 TB, a 7-column profile was 7 passes)."""
     from pyspark.sql import functions as F
 
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
     cols = columns or [f.name for f in df.schema.fields
-                       if f.dataType.typeName() in
+                       if types[f.name] in
                        ("string", "long", "integer", "double", "float",
                         "boolean")]
-    parts = []
+    aggs, structs = [], []
     for c in cols:
-        typ = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)[c]
+        typ = types[c]
         if typ == "boolean":
-            parts.append(df.agg(
-                F.lit(c).alias("column"),
-                F.count(F.col(c)).alias("n"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
-                F.approx_count_distinct(c).alias("approx_distinct"),
-                F.avg(F.col(c).cast("int")).alias("avg_len"),
-                F.max(F.col(c).cast("int")).alias("max_len"),
-                F.lit(None).cast("long").alias("raw_bytes"),
-            ))
+            avg_e, max_e = F.avg(F.col(c).cast("int")), F.max(F.col(c).cast("int"))
+            raw_e = F.lit(None).cast("long")
         elif typ == "string":
-            parts.append(df.agg(
-                F.lit(c).alias("column"),
-                F.count(F.col(c)).alias("n"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
-                F.approx_count_distinct(c).alias("approx_distinct"),
-                F.avg(F.length(c)).alias("avg_len"),
-                F.max(F.length(c)).alias("max_len"),
-                F.sum(F.octet_length(c)).alias("raw_bytes"),
-            ))
+            avg_e, max_e = F.avg(F.length(c)), F.max(F.length(c))
+            raw_e = F.sum(F.octet_length(c)).cast("long")
         else:
-            parts.append(df.agg(
-                F.lit(c).alias("column"),
-                F.count(F.col(c)).alias("n"),
-                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
-                F.approx_count_distinct(c).alias("approx_distinct"),
-                F.avg(F.col(c)).alias("avg_len"),
-                F.max(F.col(c)).alias("max_len"),
-                F.lit(None).cast("long").alias("raw_bytes"),
-            ))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            avg_e, max_e = F.avg(F.col(c)), F.max(F.col(c))
+            raw_e = F.lit(None).cast("long")
+        aggs += [F.count(F.col(c)).alias(f"{c}__n"),
+                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                  .cast("long").alias(f"{c}__nn"),
+                 F.approx_count_distinct(c).alias(f"{c}__ad"),
+                 avg_e.cast("double").alias(f"{c}__avg"),
+                 max_e.cast("double").alias(f"{c}__max"),
+                 raw_e.alias(f"{c}__raw")]
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nn").alias("n_nulls"),
+            F.col(f"{c}__ad").alias("approx_distinct"),
+            F.col(f"{c}__avg").alias("avg_len"),
+            F.col(f"{c}__max").alias("max_len"),
+            F.col(f"{c}__raw").alias("raw_bytes")))
+    return (df.agg(*aggs)
+            .select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*"))

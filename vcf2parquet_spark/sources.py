@@ -45,8 +45,15 @@ def _read_xz(spark: SparkSession, path: str, fmt: str) -> DataFrame:
                 if fmt in ("jsonl", "json"):
                     part = pd.read_json(buf, lines=True, dtype="string")
                 else:
+                    # na_values=[""] (only) matches the native Spark
+                    # CSV reader's nullValue="" default, so the same
+                    # corpus decodes identically whether it arrived as
+                    # .csv or .csv.xz; keep_default_na=False stops
+                    # pandas nulling literal "NA"/"null" strings, which
+                    # Spark keeps as text.
                     part = pd.read_csv(buf, dtype="string",
-                                       keep_default_na=False)
+                                       keep_default_na=False,
+                                       na_values=[""])
                 for c in CORPUS_COLUMNS:
                     if c not in part.columns:
                         part[c] = pd.Series(dtype="string")
