@@ -78,7 +78,7 @@ def test_codec_choices_match_north_star(encoded):
     m = hot[0]
     assert m["codecs"]["repo"] in ("rle", "for", "dict")  # constant column
     assert m["codecs"]["commit"] == "rle"
-    assert m["codecs"]["content"].startswith(("fsst", "plain+zlib"))
+    assert m["codecs"]["content"].startswith(("fsst", "plain+"))
     assert m["codecs"]["size_bytes"] in ("bitpack", "for", "rle", "delta")
 
 

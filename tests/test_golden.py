@@ -31,6 +31,8 @@ def _cases() -> dict[str, tuple[pa.Array, str]]:
         "rle_commit": (t["commit"].combine_chunks(), "rle"),
         "fsst_path": (t["path"].combine_chunks(), "fsst"),
         "fsst_zlib_content": (t["content"].combine_chunks(), "fsst+zlib"),
+        # round 3: residual-stage breadth (default residual is zstd)
+        "fsst_zstd_content": (t["content"].combine_chunks(), "fsst+zstd"),
         "plain_repo": (t["repo"].combine_chunks(), "plain"),
         "bitpack_size": (ints, "bitpack"),
         "for_size": (ints, "for"),

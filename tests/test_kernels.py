@@ -96,7 +96,11 @@ STR_EDGE = [
 
 
 @pytest.mark.parametrize("codec", ["plain", "dict", "rle", "fsst",
-                                   "fsst+zlib", "dict+zlib"])
+                                   "fsst+zlib", "dict+zlib",
+                                   # full residual-stage breadth (the
+                                   # reference's codec enum analogue)
+                                   "fsst+zstd", "fsst+lz4", "fsst+brotli",
+                                   "fsst+gzip", "plain+zstd"])
 def test_string_roundtrip_edge_cases(codec):
     arr = pa.array(STR_EDGE, type=pa.string())
     payload, meta = encode_column(arr, codec)
@@ -265,7 +269,8 @@ FLOAT_FIXTURE = pa.array(
 
 
 @pytest.mark.parametrize("codec", ["plain", "rle", "dict", "plain+zlib",
-                                   "rle+zlib", "dict+zlib"])
+                                   "rle+zlib", "dict+zlib", "plain+zstd",
+                                   "rle+lz4"])
 def test_float64_roundtrip(codec):
     out = decode_column(*encode_column(FLOAT_FIXTURE, codec))
     assert out.type == pa.float64()
@@ -304,7 +309,7 @@ def test_list_roundtrip_auto_codec(arr):
 
 
 @pytest.mark.parametrize("codec", ["list:plain", "list:dict", "list:rle",
-                                   "list:fsst+zlib"])
+                                   "list:fsst+zlib", "list:fsst+zstd"])
 def test_list_string_codec_sweep(codec):
     arr = pa.array([["x", "x", "yy"], None, [], ["zzz", "x"] * 20],
                    pa.list_(pa.string()))

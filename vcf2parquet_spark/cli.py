@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("-b", "--batch-size", type=int, default=100_000)
         p.add_argument("-c", "--codec", action="append", metavar="COL=CODEC",
                        help="per-column codec override")
+        p.add_argument("--residual",
+                       choices=["zlib", "zstd", "lz4", "brotli", "gzip"],
+                       default="zstd",
+                       help="general-purpose residual stage behind "
+                            "auto-selected base codecs (the reference's "
+                            "file-level codec enum, cli.rs:119-136)")
         p.add_argument("--target-rows", type=int, default=250_000)
         p.add_argument("--no-resume", action="store_true")
         p.add_argument("--parquet-version", choices=["1.0", "2.4", "2.6"],
@@ -143,6 +149,7 @@ def main(argv: list[str] | None = None) -> int:
                          batch_size=args.batch_size,
                          target_rows=target,
                          codec_overrides=_parse_overrides(args.codec),
+                         residual=args.residual,
                          resume=not args.no_resume,
                          parquet_version=args.parquet_version)
             print(json.dumps(job, indent=1))

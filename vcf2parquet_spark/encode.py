@@ -70,6 +70,11 @@ class EncodeOptions:
     batch_size: int = DEFAULT_BATCH
     target_rows: int = DEFAULT_TARGET_ROWS
     codec_overrides: dict = field(default_factory=dict)
+    residual: str = "zstd"    # general-purpose residual stage behind the
+                              # auto-selected base codec: one of
+                              # zlib/zstd/lz4/brotli/gzip — the breadth
+                              # analogue of the reference's file-level
+                              # codec enum (cli.rs:119-136)
     nullable: bool = True     # False = strict schema: any NULL in any
                               # input column raises SchemaError instead
                               # of encoding a validity bitmap (the
@@ -220,7 +225,8 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
     if opts.derived_columns:
         t = _derive_int_columns(t)
     profiles = {c: profile_arrow(t.column(c), c) for c in t.column_names}
-    codecs = choose_codecs(profiles, opts.codec_overrides)
+    codecs = choose_codecs(profiles, opts.codec_overrides,
+                           residual=opts.residual)
 
     rows: dict[str, list] = {k: [] for k in
                              ("part_id", "block_idx", "column", "codec",

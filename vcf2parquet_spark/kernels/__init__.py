@@ -2,15 +2,17 @@
 
 ``encode_column(arr, codec)`` / ``decode_column(payload, meta)`` are the
 only entry points the engine uses.  A codec spec is a base codec name
-optionally cascaded with ``+zlib`` (general-purpose residual stage for
-high-entropy columns — the documented fallback, SURVEY.md §7); list
-columns compose as ``list:<child spec>``:
+optionally cascaded with a general-purpose residual stage
+``+{zlib,zstd,lz4,brotli,gzip}`` (the breadth analogue of the
+reference's file-level codec enum, /root/reference/src/cli.rs:119-136;
+high-entropy fallback documented in SURVEY.md §7); list columns compose
+as ``list:<child spec>``:
 
-    int64  :  plain | bitpack | for | delta | rle | dict | (+zlib)
-    string :  plain | dict | rle | fsst | (+zlib)
-    float  :  plain | rle | dict | (+zlib)   (codecs run on the IEEE bit
-              pattern via an exact int64 view — NaN payloads and -0.0
-              round-trip bit-identically)
+    int64  :  plain | bitpack | for | delta | rle | dict | (+<residual>)
+    string :  plain | dict | rle | fsst | (+<residual>)
+    float  :  plain | rle | dict | (+<residual>)   (codecs run on the
+              IEEE bit pattern via an exact int64 view — NaN payloads
+              and -0.0 round-trip bit-identically)
     bool   :  bitmap | rle
     list<T>:  list:<spec for T>  (offsets delta+FOR-packed, child column
               recursed through its own codec)
@@ -81,10 +83,12 @@ FLOAT_CODECS = _FLOAT_CODECS
 BOOL_CODECS = tuple(_BOOL_CODECS)
 
 
-def _split_spec(codec: str) -> tuple[str, bool]:
-    if codec.endswith("+zlib"):
-        return codec[: -len("+zlib")], True
-    return codec, False
+def _split_spec(codec: str) -> tuple[str, str | None]:
+    """``"fsst+zstd"`` → ``("fsst", "zstd")``; no cascade → ``(spec, None)``."""
+    base, sep, tail = codec.rpartition("+")
+    if sep and tail in C.CASCADES:
+        return base, tail
+    return codec, None
 
 
 def _float_phys(t: pa.DataType) -> tuple[str, type, type]:
@@ -163,7 +167,7 @@ def encode_column(arr: pa.Array, codec: str) -> tuple[bytes, dict]:
         raise TypeError(f"unsupported column type for codec kernels: {arr.type}")
 
     if cascade:
-        body = C.zlib_wrap(body)
+        body = C.cascade_wrap(body, cascade)
     sections["body"] = body
     payload, smeta = pack_sections(sections)
     meta["base"] = bmeta
@@ -185,11 +189,11 @@ def decode_column(payload: bytes, meta: dict) -> pa.Array:
         raise CodecError(
             f"corrupt or mismatched block payload "
             f"(codec={meta.get('codec')}, n={meta.get('n')}): {e}") from e
-    except Exception as e:  # zlib.error etc.
+    except Exception as e:  # zlib.error, pyarrow codec errors, etc.
         import zlib
-        if isinstance(e, zlib.error):
+        if isinstance(e, (zlib.error, pa.ArrowInvalid, pa.ArrowIOError)):
             from vcf2parquet_spark.errors import CodecError
-            raise CodecError(f"zlib stage failed: {e}") from e
+            raise CodecError(f"residual stage failed: {e}") from e
         raise
 
 
@@ -214,7 +218,7 @@ def _decode_column(payload: bytes, meta: dict) -> pa.Array:
     base, cascade = _split_spec(meta["codec"])
     body = get_section(payload, meta["sections"], "body")
     if cascade:
-        body = C.zlib_unwrap(body)
+        body = C.cascade_unwrap(body, cascade)
 
     if typ == "string":
         values = _STR_CODECS[base][1](body, meta["base"])

@@ -267,3 +267,35 @@ def zlib_wrap(payload: bytes) -> bytes:
 
 def zlib_unwrap(payload: bytes) -> bytes:
     return zlib.decompress(payload)
+
+
+# general-purpose residual stage behind the base codec — the analogue of
+# the reference's file-level codec enum (uncompressed/snappy/gzip/lzo/
+# brotli/lz4/zstd, /root/reference/src/cli.rs:119-136).  zlib streams
+# stay bare (back-compat with already-written blocks); the pyarrow-backed
+# algorithms carry an 8-byte LE uncompressed-length prefix because
+# ``pa.Codec.decompress`` needs the output size up front.  Levels are
+# pinned for deterministic bytes.
+CASCADES = ("zlib", "zstd", "lz4", "brotli", "gzip")
+_PA_LEVELS = {"zstd": 9, "brotli": 5, "gzip": 6, "lz4": None}
+
+
+def _pa_codec(algo: str):
+    level = _PA_LEVELS[algo]
+    return (pa.Codec(algo) if level is None
+            else pa.Codec(algo, compression_level=level))
+
+
+def cascade_wrap(payload: bytes, algo: str) -> bytes:
+    if algo == "zlib":
+        return zlib_wrap(payload)
+    body = _pa_codec(algo).compress(payload, asbytes=True)
+    return len(payload).to_bytes(8, "little") + body
+
+
+def cascade_unwrap(payload: bytes, algo: str) -> bytes:
+    if algo == "zlib":
+        return zlib_unwrap(bytes(payload))
+    payload = memoryview(payload)
+    n = int.from_bytes(payload[:8], "little")
+    return _pa_codec(algo).decompress(payload[8:], n).to_pybytes()

@@ -14,16 +14,16 @@ string:
   avg_run >= RLE_RUN                 → rle   (sorted commit runs)
   distinct_ratio <= DICT_RATIO
     or n_distinct <= DICT_MAX        → dict  (repo / lang)
-  entropy >= HIGH_ENTROPY bits/byte  → plain+zlib (incompressible by
-                                       symbol tables; zlib residual —
+  entropy >= HIGH_ENTROPY bits/byte  → plain+<residual> (incompressible
+                                       by symbol tables; residual stage —
                                        documented fallback, SURVEY §7)
-  else                               → fsst+zlib (path / content: FSST
-                                       symbol table + zlib residual)
+  else                               → fsst+<residual> (path / content:
+                                       FSST symbol table + residual)
 
 float (codecs run on the exact IEEE bit pattern):
   all-equal / long runs  → rle
   low cardinality        → dict
-  entropy < HIGH_ENTROPY → plain+zlib
+  entropy < HIGH_ENTROPY → plain+<residual>
   else                   → plain   (random mantissas: nothing to find)
 
 bool:
@@ -49,8 +49,14 @@ DICT_RATIO = 0.05    # distinct/n below this -> dictionary
 DICT_MAX = 256       # small absolute dictionaries are always worth it
 HIGH_ENTROPY = 7.3   # bits/byte; above -> symbol tables won't help
 
+# default residual stage: zstd-9 beats zlib-6 on both axes on FSST
+# bodies (measured: ratio 1.24 vs 1.22, compress 90 vs 30 MB/s); zlib
+# remains fully supported for decoding existing blocks and via
+# EncodeOptions(residual="zlib")
+DEFAULT_RESIDUAL = "zstd"
 
-def choose_codec(stats: dict) -> str:
+
+def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL) -> str:
     """Pick a codec spec for one column from its profile stats."""
     if stats["type"].startswith("list<"):
         # offsets framing is fixed (delta+FOR); the choice recurses on
@@ -58,7 +64,7 @@ def choose_codec(stats: dict) -> str:
         child = stats.get("child") or {}
         if not child or child.get("n", 0) == 0:
             return "list:plain"
-        return "list:" + choose_codec(child)
+        return "list:" + choose_codec(child, residual)
     if stats["type"] in ("float32", "float64"):
         n_vals = stats["n"] - stats["n_nulls"]
         if n_vals == 0 or stats["n_distinct"] <= 1:
@@ -71,7 +77,7 @@ def choose_codec(stats: dict) -> str:
         # IEEE mantissa bytes are near-random: zlib only when the byte
         # entropy says there is structure to find
         if stats.get("entropy", 8.0) < HIGH_ENTROPY:
-            return "plain+zlib"
+            return "plain+" + residual
         return "plain"
     if stats["type"] == "bool":
         n_vals = stats["n"] - stats["n_nulls"]
@@ -100,17 +106,18 @@ def choose_codec(stats: dict) -> str:
                 or stats["n_distinct"] <= DICT_MAX):
             return "dict"
         if stats["entropy"] >= HIGH_ENTROPY:
-            return "plain+zlib"
-        return "fsst+zlib"
+            return "plain+" + residual
+        return "fsst+" + residual
     raise TypeError(f"unsupported type: {stats['type']}")
 
 
 def choose_codecs(profiles: dict[str, dict],
-                  overrides: dict[str, str] | None = None) -> dict[str, str]:
+                  overrides: dict[str, str] | None = None,
+                  residual: str = DEFAULT_RESIDUAL) -> dict[str, str]:
     out = {}
     for col, stats in profiles.items():
         if overrides and col in overrides:
             out[col] = overrides[col]
         else:
-            out[col] = choose_codec(stats)
+            out[col] = choose_codec(stats, residual)
     return out
