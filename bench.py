@@ -80,7 +80,11 @@ def materialize_corpus(spark, n_rows: int) -> str:
     return path
 
 
-def bench_encode(spark, corpus_path: str, out: str, target_rows: int = 4000):
+def bench_encode(spark, corpus_path: str, out: str, target_rows: int = 2500):
+    # 2500 rows/unit → ~87 work units at 200k rows: ~2.7 units per core
+    # smooths the tail waves (measured sweep at local[32]: 2500→2.55s,
+    # 2000→2.66s, 4000→3.94s, 7000/32-units→4.22s — coarse units leave
+    # cores idle in the last wave; finer units pay per-task overhead)
     from pyspark.sql import functions as F
     from vcf2parquet_spark.encode import encode
 

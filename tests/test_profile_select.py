@@ -50,13 +50,13 @@ def test_selection_rules_string():
     assert choose_codec({**base, "n_distinct": 40, "distinct_ratio": 0.004,
                          "avg_run": 1.2, "entropy": 4.0}) == "dict"
     assert choose_codec({**base, "n_distinct": 9_500, "distinct_ratio": 0.95,
-                         "avg_run": 1.0, "entropy": 4.8}) == "fsst+zstd"
+                         "avg_run": 1.0, "entropy": 4.8}) == "fsst+zlib"
     assert choose_codec({**base, "n_distinct": 9_500, "distinct_ratio": 0.95,
-                         "avg_run": 1.0, "entropy": 7.9}) == "plain+zstd"
+                         "avg_run": 1.0, "entropy": 7.9}) == "plain+zlib"
     # residual stage is configurable (reference -c codec enum analogue)
     assert choose_codec({**base, "n_distinct": 9_500, "distinct_ratio": 0.95,
                          "avg_run": 1.0, "entropy": 4.8},
-                        residual="zlib") == "fsst+zlib"
+                        residual="zstd") == "fsst+zstd"
 
 
 def test_selection_golden_on_corpus():
@@ -74,8 +74,8 @@ def test_selection_golden_on_corpus():
     assert codecs["repo"] == "rle"          # sorted -> giant runs
     assert codecs["lang"] == "dict"         # 20 values, short runs
     assert codecs["commit"] == "rle"        # commit runs within repo
-    assert codecs["path"] in ("fsst+zstd",)  # near-unique structured strings
-    assert codecs["content"] in ("fsst+zstd",)
+    assert codecs["path"] in ("fsst+zlib",)  # near-unique structured strings
+    assert codecs["content"] in ("fsst+zlib",)
     # derived ints
     sb = pc.binary_length(t["content"]).cast(pa.int64())
     s = profile_arrow(sb, "size_bytes")

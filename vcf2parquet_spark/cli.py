@@ -64,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
                        help="per-column codec override")
         p.add_argument("--residual",
                        choices=["zlib", "zstd", "lz4", "brotli", "gzip"],
-                       default="zstd",
+                       default="zlib",
                        help="general-purpose residual stage behind "
                             "auto-selected base codecs (the reference's "
                             "file-level codec enum, cli.rs:119-136)")

@@ -70,7 +70,7 @@ class EncodeOptions:
     batch_size: int = DEFAULT_BATCH
     target_rows: int = DEFAULT_TARGET_ROWS
     codec_overrides: dict = field(default_factory=dict)
-    residual: str = "zstd"    # general-purpose residual stage behind the
+    residual: str = "zlib"    # general-purpose residual stage behind the
                               # auto-selected base codec: one of
                               # zlib/zstd/lz4/brotli/gzip — the breadth
                               # analogue of the reference's file-level

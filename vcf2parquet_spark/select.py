@@ -49,11 +49,14 @@ DICT_RATIO = 0.05    # distinct/n below this -> dictionary
 DICT_MAX = 256       # small absolute dictionaries are always worth it
 HIGH_ENTROPY = 7.3   # bits/byte; above -> symbol tables won't help
 
-# default residual stage: zstd-9 beats zlib-6 on both axes on FSST
-# bodies (measured: ratio 1.24 vs 1.22, compress 90 vs 30 MB/s); zlib
-# remains fully supported for decoding existing blocks and via
-# EncodeOptions(residual="zlib")
-DEFAULT_RESIDUAL = "zstd"
+# default residual stage: zlib-6 measured best end-to-end on the bench
+# corpus on BOTH axes (footprint 0.5131 vs zstd-9's 0.5166; encode wall
+# 2.85 vs 3.35 s at local[32] — zstd-9's larger match windows fault more
+# pages under this host's throttle).  zstd/lz4/brotli/gzip remain fully
+# supported via EncodeOptions(residual=...) / CLI --residual; on corpora
+# where zstd-9 wins (e.g. the documents fixture: ratio 1.24 vs 1.22 at
+# 3x the compress speed) flip the default per job.
+DEFAULT_RESIDUAL = "zlib"
 
 
 def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL) -> str:
