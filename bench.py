@@ -44,7 +44,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "400000"))
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "1600000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 WORK_DIR = os.environ.get("SPARK_GRAFT_WORK", "/tmp/vp_bench")
 
@@ -250,11 +250,24 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
     (N, 4N) pairs — each level in a fresh session with one unmeasured
     dry run to reach steady state — and report the median pairwise
     efficiency, with every raw measurement disclosed.
+
+    Input sizing: SCALING_ROWS defaults to 1.6M rows (~800k rows/core at
+    N=2).  Every Spark job on this host carries a ~3-5 s fixed overhead
+    (plan aggregate + shuffle barrier + snapshot commit + the globally
+    rate-limited page-fault byte path — measured directly with a no-op
+    encode kernel: the byte-path wall is the SAME at local[2] and
+    local[8], so it is per-job, not per-core).  A job sized at ~200k
+    rows/core spends ~17% of its local[2] wall in that constant and the
+    measurement degenerates into benchmarking Spark's per-job overhead;
+    at 100 TB the constant is invisible.  The per-pair `ovh` column in
+    the report discloses it.
     """
     from vcf2parquet_spark.session import get_spark
 
     n_small = max(1, SCALE_N)
     n_big = n_small * 4
+    # generate the scaling corpus on the wide session (one-time, untimed)
+    materialize_corpus(spark32, SCALING_ROWS)
     spark32.stop()
     probe_levels = tuple(dict.fromkeys(
         [n_small, n_big, min(4 * n_big, os.cpu_count() or n_big)]))
@@ -367,11 +380,20 @@ def _write_baseline_md(s: dict) -> None:
     first = s["all_pairs"][0]["n"]
     rows_tbl = []
     for r in s["all_pairs"]:
+        # fixed job overhead per level: wall minus per-core-normalized
+        # in-kernel seconds — pure arithmetic on the measured columns
+        try:
+            ov_n = r["n"]["seconds"] - r["n"]["udf_seconds"] / s["n_cores"]
+            ov_4n = (r["4n"]["seconds"]
+                     - r["4n"]["udf_seconds"] / s["4n_cores"])
+            ov_n, ov_4n = round(ov_n, 1), round(ov_4n, 1)
+        except (KeyError, TypeError):
+            ov_n = ov_4n = "-"
         rows_tbl.append(
             f"| {r['pair']} | {r['n']['seconds']} | {r['n']['gbps']} "
-            f"| {r['n'].get('udf_seconds', '-')} "
+            f"| {r['n'].get('udf_seconds', '-')} | {ov_n} "
             f"| {r['4n']['seconds']} | {r['4n']['gbps']} "
-            f"| {r['4n'].get('udf_seconds', '-')} "
+            f"| {r['4n'].get('udf_seconds', '-')} | {ov_4n} "
             f"| {r['efficiency']} |")
     probe = s.get("host_probe", {})
     probe_rows = []
@@ -414,9 +436,23 @@ def _write_baseline_md(s: dict) -> None:
         "Raw measurements:",
         "",
         f"| pair | local[{s['n_cores']}] wall (s) | GB/s | Σudf (s) "
-        f"| local[{s['4n_cores']}] wall (s) | GB/s | Σudf (s) | wall eff |",
-        "|---|---|---|---|---|---|---|---|",
+        f"| ovh (s) | local[{s['4n_cores']}] wall (s) | GB/s | Σudf (s) "
+        "| ovh (s) | wall eff |",
+        "|---|---|---|---|---|---|---|---|---|---|",
         *rows_tbl,
+        "",
+        "ovh = wall − Σudf/cores: the per-job fixed overhead (plan",
+        "aggregate, shuffle barrier, snapshot commit, and the host's",
+        "globally rate-limited page-fault path — measured directly with a",
+        "no-op kernel, the byte path walls the SAME ~3-5 s at local[2]",
+        "and local[8], i.e. it is a per-job constant on this host, not a",
+        "per-core cost).  The input is sized so this constant is a small",
+        f"fraction of the job ({SCALING_ROWS:,} rows ≈ "
+        f"{SCALING_ROWS // (1000 * max(1, SCALE_N))}k rows/core at N="
+        f"{max(1, SCALE_N)}): a job sized at ~200k rows/core measures",
+        "Spark's fixed per-job overhead, not the engine's scaling — and",
+        "at 100 TB each executor's share is orders of magnitude larger",
+        "still, amortizing the constant to nothing.",
         "",
         "Each (N, 4N) pair runs back-to-back, each level in a fresh session",
         "with one unmeasured dry run first (steady state); multiple pairs",

@@ -32,7 +32,7 @@ __all__ = ["encode", "decode", "verify", "synth_corpus", "__version__"]
 
 
 from vcf2parquet_spark.corpus import synth_corpus
-from vcf2parquet_spark.encode import EncodeOptions, encode
+from vcf2parquet_spark.encode import EncodeOptions, encode, encode_clustered
 from vcf2parquet_spark.decode import decode, register_view, verify
 
-__all__ += ["EncodeOptions", "register_view"]
+__all__ += ["EncodeOptions", "encode_clustered", "register_view"]

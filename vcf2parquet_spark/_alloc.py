@@ -39,3 +39,21 @@ def tune_malloc() -> bool:
 
 
 tune_malloc()
+
+
+def tune_arrow_pool() -> bool:
+    """Route Arrow allocations through glibc malloc (tuned above to
+    retain big buffers): pyarrow's bundled jemalloc purges dirty pages
+    aggressively, so every parquet-read / IPC buffer re-faults its
+    pages — which this host rate-limits globally.  With the system pool
+    + raised mmap threshold, a worker pays the fault cost once and
+    reuses the arena across work units."""
+    try:
+        import pyarrow as pa
+        pa.set_memory_pool(pa.system_memory_pool())
+        return True
+    except Exception:
+        return False
+
+
+tune_arrow_pool()

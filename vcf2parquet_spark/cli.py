@@ -69,6 +69,12 @@ def main(argv: list[str] | None = None) -> int:
                             "auto-selected base codecs (the reference's "
                             "file-level codec enum, cli.rs:119-136)")
         p.add_argument("--target-rows", type=int, default=250_000)
+        p.add_argument("--clustered", action="store_true",
+                       help="shuffle-free path: encode the input parquet "
+                            "table's physical rowgroup ranges in place "
+                            "(requires -f parquet; the Iceberg-partition "
+                            "encode — content bytes never enter the JVM "
+                            "or a shuffle)")
         p.add_argument("--no-resume", action="store_true")
         p.add_argument("--parquet-version", choices=["1.0", "2.4", "2.6"],
                        default="2.6",
@@ -140,18 +146,24 @@ def main(argv: list[str] | None = None) -> int:
     spark = pre_existing or get_spark(cores=args.cores)
     try:
         if args.cmd in ("convert", "split"):
-            from vcf2parquet_spark.encode import encode
+            from vcf2parquet_spark.encode import encode, encode_clustered
             from vcf2parquet_spark.sources import read_corpus
-            df = read_corpus(spark, args.input, fmt=args.format)
             target = (args.batch_size if args.cmd == "split"
                       else args.target_rows)
-            job = encode(spark, df, args.output,
-                         batch_size=args.batch_size,
-                         target_rows=target,
-                         codec_overrides=_parse_overrides(args.codec),
-                         residual=args.residual,
-                         resume=not args.no_resume,
-                         parquet_version=args.parquet_version)
+            common = dict(batch_size=args.batch_size,
+                          target_rows=target,
+                          codec_overrides=_parse_overrides(args.codec),
+                          residual=args.residual,
+                          resume=not args.no_resume,
+                          parquet_version=args.parquet_version)
+            if getattr(args, "clustered", False):
+                if args.format != "parquet":
+                    raise SystemExit("--clustered requires -f parquet")
+                job = encode_clustered(spark, args.input, args.output,
+                                       **common)
+            else:
+                df = read_corpus(spark, args.input, fmt=args.format)
+                job = encode(spark, df, args.output, **common)
             print(json.dumps(job, indent=1))
         elif args.cmd == "decode":
             from vcf2parquet_spark.decode import decode

@@ -90,6 +90,15 @@ class EncodeOptions:
     # the UDF skip its pyarrow sort (a full table copy) entirely
     presort_in_shuffle: bool = True
     shuffle_oversub: int = 16  # shuffle partitions per core (see encode())
+    arrow_stream: bool = True  # stream shuffle partitions through
+                              # mapInArrow with an in-worker prefetch
+                              # thread, so the JVM feed of unit k+1
+                              # overlaps the kernels on unit k (the
+                              # groupBy/applyInArrow path materializes a
+                              # whole group before the UDF runs, making
+                              # feed → encode → return serial per task —
+                              # measured ~30% of reduce-task wall at 8
+                              # cores).  False = legacy applyInArrow.
     snapshot: bool = True     # False: skip the snapshot commit (used by
                               # compaction, which commits its own swap)
     manifest_tags: dict = field(default_factory=dict)  # extra manifest
@@ -201,15 +210,22 @@ def _content_digest(t: pa.Table) -> str:
 
 def encode_partition(part_id: int, t: pa.Table, output: str,
                      opts: EncodeOptions, schema_columns: list[str],
-                     already_sorted: bool = False) -> dict:
+                     already_sorted: bool = False,
+                     loader=None) -> dict:
     """Encode one work unit (runs on an executor). Returns summary dict.
 
     ``already_sorted`` is set by :func:`encode` when the shuffle itself
     ordered rows by ``sort_columns`` (UTF-8 byte order with nulls LAST —
     matching pyarrow ``pc.sort_indices``' defaults exactly, so block
     bytes and the content digest are identical whichever path sorted).
+
+    ``loader``: optional zero-arg callable returning the table — used by
+    the clustered path so the parquet rowgroup read is timed as part of
+    the unit's work (``metrics.seconds`` in the manifest).
     """
     t0 = time.time()
+    if loader is not None:
+        t = loader()
     if not opts.nullable:
         bad = {c: t.column(c).null_count for c in t.column_names
                if t.column(c).null_count}
@@ -349,17 +365,88 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     presort = (opts.presort_in_shuffle
                and all(c in with_part.columns for c in opts.sort_columns))
 
+    _sum_schema = pa.schema([
+        ("part_id", pa.int64()), ("n_rows", pa.int64()),
+        ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+        ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
+        ("seconds", pa.float64()), ("status", pa.string())])
+
     def _encode_group(key: tuple, t: pa.Table) -> pa.Table:
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
         pid = int(key[0].as_py())
         t = t.drop_columns(["part_id"])
         summary = encode_partition(pid, t, output, opts_b, list(out_cols),
                                    already_sorted=presort)
-        return pa.Table.from_pylist([summary], schema=pa.schema([
-            ("part_id", pa.int64()), ("n_rows", pa.int64()),
-            ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
-            ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
-            ("seconds", pa.float64()), ("status", pa.string())]))
+        return pa.Table.from_pylist([summary], schema=_sum_schema)
+
+    def _encode_stream(batches):
+        """mapInArrow kernel: consume the shuffle partition's (part_id-
+        sorted) batch stream, cut it at part_id boundaries, and encode
+        each work unit — with a bounded prefetch thread so the Arrow
+        IPC read of the NEXT unit overlaps the codec kernels of the
+        current one.  Group content and row order are identical to the
+        applyInArrow path (hash partition + in-partition sort), so the
+        encoded block bytes are byte-identical between the two paths."""
+        import queue
+        import threading
+
+        import numpy as np
+
+        import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+
+        DONE, ERR = object(), object()
+        q: queue.Queue = queue.Queue(maxsize=8)
+
+        def _reader():
+            try:
+                for b in batches:
+                    q.put(b)
+                q.put(DONE)
+            except BaseException as e:   # propagate into the main thread
+                q.put(ERR)
+                q.put(e)
+
+        threading.Thread(target=_reader, daemon=True).start()
+
+        cur_pid: int | None = None
+        parts: list[pa.RecordBatch] = []
+
+        def _flush():
+            nonlocal cur_pid, parts
+            if cur_pid is None:
+                return None
+            t = pa.Table.from_batches(parts).drop_columns(["part_id"])
+            parts = []
+            summary = encode_partition(cur_pid, t, output, opts_b,
+                                       list(out_cols),
+                                       already_sorted=presort)
+            cur_pid = None
+            return pa.RecordBatch.from_pylist([summary],
+                                              schema=_sum_schema)
+
+        while True:
+            b = q.get()
+            if b is DONE:
+                break
+            if b is ERR:
+                raise q.get()
+            pids = b.column("part_id").to_numpy(zero_copy_only=False)
+            cuts = (np.flatnonzero(pids[1:] != pids[:-1]) + 1).tolist()
+            bounds = [0, *cuts, len(pids)]
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                if hi == lo:
+                    continue
+                pid = int(pids[lo])
+                if cur_pid is not None and pid != cur_pid:
+                    out = _flush()
+                    if out is not None:
+                        yield out
+                cur_pid = pid
+                parts.append(b.slice(lo, hi - lo))
+        out = _flush()
+        if out is not None:
+            yield out
 
     # Explicit shuffle width: work units hashed into only ~#cores buckets
     # make the largest bucket the wall clock (and AQE would coalesce
@@ -381,16 +468,31 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         shuffled = shuffled.sortWithinPartitions(
             F.col("part_id"),
             *[F.col(c).asc_nulls_last() for c in opts.sort_columns])
-    summaries = (
-        shuffled
-        .groupBy("part_id")
-        .applyInArrow(_encode_group, schema=SUMMARY_SCHEMA)
-        .collect())
+    elif opts.arrow_stream:
+        # the streaming kernel cuts the batch stream at part_id
+        # boundaries, so units must at least be contiguous (the rows
+        # themselves are then sorted inside encode_partition)
+        shuffled = shuffled.sortWithinPartitions(F.col("part_id"))
+    if opts.arrow_stream:
+        summaries = (shuffled
+                     .mapInArrow(_encode_stream, schema=SUMMARY_SCHEMA)
+                     .collect())
+    else:
+        summaries = (shuffled
+                     .groupBy("part_id")
+                     .applyInArrow(_encode_group, schema=SUMMARY_SCHEMA)
+                     .collect())
 
-    # 5. table-level metadata + snapshot-log entry (time travel / lineage);
-    # totals come from the snapshot's LIVE set (not every manifest on
-    # disk — compaction leaves superseded partitions behind for time
-    # travel until expire_snapshots reclaims them)
+    return _finalize_job(output, opts, schema_columns, n_parts, summaries)
+
+
+def _finalize_job(output: str, opts: EncodeOptions,
+                  schema_columns: list[str], n_parts: int,
+                  summaries: list) -> dict:
+    """Table-level metadata + snapshot-log entry (time travel / lineage);
+    totals come from the snapshot's LIVE set (not every manifest on
+    disk — compaction leaves superseded partitions behind for time
+    travel until expire_snapshots reclaims them)."""
     if opts.snapshot:
         snap = tbl.commit_snapshot(output, operation="encode",
                                    wall_time=time.time())
@@ -418,3 +520,114 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     }
     tbl.write_table_meta(output, job)
     return job
+
+
+def plan_file_units(input_dir: str, target_rows: int,
+                    offset: int = 0) -> tuple[list[dict], int, list[str]]:
+    """Deterministic work units over a parquet table's PHYSICAL layout:
+    contiguous rowgroup ranges of ~``target_rows`` rows per file, from
+    the sorted file list.  Returns (units, next id, schema column names).
+
+    Rowgroups are the stable split quantum — the same table yields the
+    same units at any parallelism, so block bytes are reproducible and
+    resume is exact.  A single hot file fans out into many units (skew
+    bounded by rowgroup-range sizing, the clustered-path analogue of
+    hot-repo salting).  Footer metadata only — no data is read.  At
+    Iceberg scale the file list comes from the table manifest and this
+    loop distributes trivially (one footer read per file); driver-side
+    is fine up to ~10^5 files.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{input_dir.rstrip('/')}/*.parquet"))
+    if not files:
+        from vcf2parquet_spark.errors import StorageError
+        raise StorageError(f"no parquet files under {input_dir!r}")
+    units: list[dict] = []
+    pid = offset
+    schema_cols: list[str] = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if not schema_cols:
+            schema_cols = list(md.schema.to_arrow_schema().names)
+        lo, acc = 0, 0
+        for i in range(md.num_row_groups):
+            acc += md.row_group(i).num_rows
+            if acc >= target_rows or i == md.num_row_groups - 1:
+                if acc > 0:
+                    units.append({"part_id": pid, "path": f,
+                                  "rg_lo": lo, "rg_hi": i + 1})
+                    pid += 1
+                lo, acc = i + 1, 0
+    return units, pid, schema_cols
+
+
+def encode_clustered(spark: SparkSession, input_dir: str, output: str,
+                     opts: EncodeOptions | None = None, **kwargs) -> dict:
+    """Shuffle-free encode of an already-materialized parquet table —
+    the Iceberg-partition path the north star describes: each work unit
+    is a physical rowgroup range that an executor's Python worker reads
+    DIRECTLY with pyarrow and encodes in place.  Content bytes never
+    enter the JVM, a shuffle, or Arrow IPC; the only distributed rows
+    are (part_id, path, rg_lo, rg_hi) — the mirror image of the decode
+    path, and the Spark analogue of the reference's file-in →
+    encoded-file-out unit (/root/reference/src/lib.rs:34-118).
+
+    Compared to :func:`encode` (the general path for arbitrary row
+    layouts, which groups rows by repo via one shuffle + hot-repo
+    salting): this path preserves the table's physical clustering, so
+    use it when the input is already laid out the way you want units cut
+    (e.g. an Iceberg table partitioned by repo).  Determinism at any
+    parallelism, exact resume, and bounded unit size all hold by
+    construction (see :func:`plan_file_units`).  ``part_id``s are
+    positional over the sorted file list, so resume assumes an immutable
+    input snapshot — exactly what an Iceberg snapshot id pins.
+    """
+    opts = opts or EncodeOptions(**kwargs)
+    tbl.init_layout(output)
+    units, n_parts, schema_columns = plan_file_units(
+        input_dir, opts.target_rows, opts.part_id_offset)
+    committed = set(tbl.committed_parts(output)) if opts.resume else set()
+    todo = [u for u in units if u["part_id"] not in committed]
+
+    _sum_schema = pa.schema([
+        ("part_id", pa.int64()), ("n_rows", pa.int64()),
+        ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+        ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
+        ("seconds", pa.float64()), ("status", pa.string())])
+    opts_b = opts
+    out_cols = list(schema_columns)
+
+    def _encode_unit(batches):
+        import pyarrow.parquet as pq
+
+        import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+        for b in batches:
+            pids = b.column("part_id").to_pylist()
+            paths = b.column("path").to_pylist()
+            los = b.column("rg_lo").to_pylist()
+            his = b.column("rg_hi").to_pylist()
+            for pid, path, lo, hi in zip(pids, paths, los, his):
+                summary = encode_partition(
+                    int(pid), None, output, opts_b, out_cols,
+                    loader=lambda p=path, a=lo, z=hi:
+                        pq.ParquetFile(p).read_row_groups(list(range(a, z))))
+                yield pa.RecordBatch.from_pylist([summary],
+                                                 schema=_sum_schema)
+
+    summaries: list = []
+    if todo:
+        fdf = spark.createDataFrame(
+            [(u["part_id"], u["path"], u["rg_lo"], u["rg_hi"])
+             for u in todo],
+            "part_id long, path string, rg_lo int, rg_hi int")
+        width = max(1, min(len(todo),
+                           spark.sparkContext.defaultParallelism
+                           * opts.shuffle_oversub))
+        summaries = (fdf.repartition(width)   # file-name rows only
+                     .mapInArrow(_encode_unit, SUMMARY_SCHEMA)
+                     .collect())
+    return _finalize_job(output, opts, list(schema_columns), n_parts,
+                         summaries)
