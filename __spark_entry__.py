@@ -391,6 +391,38 @@ def q_encode_roundtrip(spark, sf_dir):
             .agg(F.count("*").alias("n_matched")))
 
 
+def q_clustered_roundtrip(spark, sf_dir):
+    """Same end-to-end guarantee as q_encode_roundtrip, through the
+    shuffle-free clustered path: the corpus-shaped documents table is
+    materialized as a small-rowgroup parquet table (the physical layout
+    an Iceberg partition would present), encoded by rowgroup range with
+    encode_clustered — content bytes never transit the JVM — then
+    decoded and sha256-matched row-by-row.  n_matched == count(*) iff
+    every row survives bit-identically (reference golden end-to-end:
+    /root/reference/src/lib.rs:127-257)."""
+    import tempfile
+
+    from vcf2parquet_spark import encode_clustered
+    from vcf2parquet_spark.decode import decode as dec
+
+    base = tempfile.mkdtemp(prefix="vp_entry_cl_")
+    src, out = base + "/src_pq", base + "/blocks"
+    df = _doc(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+    (df.repartition(4).write.mode("overwrite")
+       .option("parquet.block.size", 256 * 1024).parquet(src))
+    encode_clustered(spark, src, out, batch_size=1000, target_rows=1000)
+    decoded = dec(spark, out)
+    a = df.select("repo", "path", F.sha2("content", 256).alias("sha"))
+    b = decoded.select("repo", "path", F.sha2("content", 256).alias("sha"))
+    return (a.intersect(b).groupBy()
+            .agg(F.count("*").alias("n_matched")))
+
+
 def q_media_features(spark, sf_dir):
     """Feature-extraction pipeline, projected to scalar rows: the
     float32 histogram feature is de-normalized back to its exact
@@ -472,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "encode_roundtrip": q_encode_roundtrip,
+        "clustered_roundtrip": q_clustered_roundtrip,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
@@ -932,6 +965,10 @@ def oracle_sql() -> dict[str, str]:
         # row round-tripped bit-identically through the codec kernels
         # (doc_id is unique, so the distinct intersect loses no rows)
         "encode_roundtrip": """
+            SELECT CAST(count(*) AS BIGINT) AS n_matched FROM documents
+        """,
+        # identical guarantee through the shuffle-free clustered path
+        "clustered_roundtrip": """
             SELECT CAST(count(*) AS BIGINT) AS n_matched FROM documents
         """,
     } | {"ann_buckets": _ann_buckets_sql(),

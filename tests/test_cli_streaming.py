@@ -63,6 +63,30 @@ def test_cli_convert_verify_decode(spark, corpus_parquet, tmp_path, capsys):
     assert glob.glob(f"{dest}/*.parquet")
 
 
+def test_cli_convert_clustered(spark, corpus_parquet, tmp_path, capsys):
+    from vcf2parquet_spark import cli
+    from vcf2parquet_spark.decode import verify
+
+    out = str(tmp_path / "blocks_cl")
+    rc = cli.main(["convert", "-i", corpus_parquet, "-o", out,
+                   "--clustered", "-b", "1000", "--target-rows", "1500"])
+    assert rc == 0
+    job = json.loads(capsys.readouterr().out)
+    assert job["n_committed"] >= 1
+    df = spark.read.parquet(corpus_parquet)
+    res = verify(spark, df, out)
+    assert res["ok"], res
+
+
+def test_cli_clustered_requires_parquet(spark, tmp_path):
+    from vcf2parquet_spark import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["convert", "-i", str(tmp_path / "x.jsonl"),
+                  "-o", str(tmp_path / "o"), "--clustered",
+                  "-f", "jsonl"])
+
+
 def test_cli_split_matches_convert(spark, corpus_parquet, tmp_path, capsys):
     """split (file-per-batch) decodes to the same multiset as convert —
     mirror of the reference's split-vs-convert functional test
