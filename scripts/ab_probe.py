@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""A/B probe in one window: encode stream vs grouped, clustered with vs
+without Arrow CPU-thread pinning.  3 rounds interleaved, min + all."""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+WORK = "/tmp/vp_bench"
+ROWS = 200_000
+
+
+def main():
+    from vcf2parquet_spark.session import get_spark
+    from vcf2parquet_spark.encode import encode, encode_clustered
+
+    spark = get_spark(cores=32, app_name="ab_probe",
+                      extra_conf={"spark.sql.shuffle.partitions": "32"})
+    corpus = f"{WORK}/corpus_200000.parquet"
+    rg = f"{WORK}/corpus_rg_200000.parquet"
+    if not os.path.exists(corpus) or not os.path.exists(rg):
+        from vcf2parquet_spark.corpus import synth_corpus
+        df = synth_corpus(spark, ROWS, seed=42)
+        df.write.mode("overwrite").parquet(corpus)
+        (df.write.mode("overwrite").option("compression", "snappy")
+         .option("parquet.block.size", 2 * 1024 * 1024).parquet(rg))
+
+    def t(fn):
+        out = f"{WORK}/ab_out"
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        t0 = time.time()
+        fn(out)
+        return round(time.time() - t0, 3)
+
+    res = {}
+    cfgs = {
+        "stream": lambda o: encode(spark, spark.read.parquet(corpus), o,
+                                   target_rows=2500, arrow_stream=True),
+        "stream_pin": lambda o: encode(spark, spark.read.parquet(corpus), o,
+                                       target_rows=2500, arrow_stream=True,
+                                       arrow_cpu=1),
+        "grouped": lambda o: encode(spark, spark.read.parquet(corpus), o,
+                                    target_rows=2500, arrow_stream=False),
+        "clustered": lambda o: encode_clustered(spark, rg, o,
+                                                target_rows=2500),
+        "clustered_pin1": lambda o: encode_clustered(
+            spark, rg, o, target_rows=2500, arrow_cpu=1),
+        "clustered_pin2": lambda o: encode_clustered(
+            spark, rg, o, target_rows=2500, arrow_cpu=2),
+    }
+    for rnd in range(3):
+        for name, fn in cfgs.items():
+            dt = t(fn)
+            res.setdefault(name, []).append(dt)
+            print(f"round {rnd} {name}: {dt}", flush=True)
+    print(json.dumps({k: {"min": min(v), "all": v} for k, v in res.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

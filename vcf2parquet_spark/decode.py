@@ -178,6 +178,10 @@ def decode(spark: SparkSession, output: str,
         import pyarrow.parquet as pq
 
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+        from vcf2parquet_spark.encode import _pin_arrow
+        _pin_arrow(2)   # see EncodeOptions.arrow_cpu: pyarrow defaults to
+        # cpu_count threads PER worker process — 32 tasks x 32 threads of
+        # parquet-decompress contention on a 32-core host
 
         for b in batches:
             for path in b.column("path").to_pylist():

@@ -107,6 +107,25 @@ class EncodeOptions:
                               # dangling-part adoption until the swap)
     part_id_offset: int = 0   # namespace for incremental/streaming appends
     parquet_version: str = "2.6"  # blocks container pages (ref: cli.rs:139-145)
+    arrow_cpu: int = 2        # >0: pin pyarrow's per-process CPU pool to
+                              # this many threads inside each Spark task's
+                              # Python worker.  pyarrow defaults to
+                              # os.cpu_count() threads PER PROCESS, so a
+                              # 32-task executor host runs 32x32 threads
+                              # during parquet reads/writes — pure
+                              # contention (measured: clustered encode min
+                              # 5.3s -> 3.9s at local[32] with pin=2, and
+                              # the cold-start outlier 15.8s -> 4.4s on
+                              # the stream path).  On a real cluster set
+                              # ~= spark.task.cpus.  0 = pyarrow default.
+
+
+def _pin_arrow(n: int) -> None:
+    """Worker-side: bound pyarrow's intra-process parallelism (see
+    EncodeOptions.arrow_cpu).  Idempotent, cheap."""
+    if n and n > 0:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
 
 
 def plan_partitions(counts: list[tuple[str, int]], target_rows: int,
@@ -373,6 +392,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
 
     def _encode_group(key: tuple, t: pa.Table) -> pa.Table:
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+        _pin_arrow(opts_b.arrow_cpu)
         pid = int(key[0].as_py())
         t = t.drop_columns(["part_id"])
         summary = encode_partition(pid, t, output, opts_b, list(out_cols),
@@ -393,6 +413,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         import numpy as np
 
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+        _pin_arrow(opts_b.arrow_cpu)
 
         DONE, ERR = object(), object()
         q: queue.Queue = queue.Queue(maxsize=8)
@@ -604,6 +625,7 @@ def encode_clustered(spark: SparkSession, input_dir: str, output: str,
         import pyarrow.parquet as pq
 
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+        _pin_arrow(opts_b.arrow_cpu)
         for b in batches:
             pids = b.column("part_id").to_pylist()
             paths = b.column("path").to_pylist()
