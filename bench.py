@@ -161,7 +161,7 @@ def main() -> None:
     rg_path = materialize_rg_corpus(spark, BENCH_ROWS)
     out_cl = f"{WORK_DIR}/blocks_cl"
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         dt_i, job_cl = bench_encode_clustered(spark, rg_path, out_cl,
                                               target_rows=2500)
         dt = min(dt, dt_i)
@@ -188,7 +188,9 @@ def main() -> None:
 
     def timed(name, fn):
         best = float("inf")
-        for _ in range(2):  # min of 2: exclude codegen/JIT compile cost
+        for _ in range(3):  # min of 3: exclude codegen/JIT compile cost
+            # and the host's minute-scale throttle windows (a min-of-2
+            # dedup_minhash measured 17s in one window vs 4.3s steady)
             t0 = time.time()
             fn(spark, SF_DIR).collect()
             best = min(best, time.time() - t0)
@@ -294,20 +296,25 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
     host's linear region (see ``host_probe``) — the criterion is about
     the ENGINE's scaling across cluster sizes, and above ~8 processes
     this single host itself stops scaling (CPU eff ~0.69 for 8→32 pure
-    spin; aggregate memcpy bandwidth *falls*).  The host also throttles
-    first-touch page faults at a time-varying global rate, so a single
-    N/4N pair can straddle two host states; we run ``pairs`` interleaved
-    (N, 4N) pairs — each level in a fresh session with one unmeasured
-    dry run to reach steady state — and report the median pairwise
-    efficiency, with every raw measurement disclosed.
+    spin; aggregate memcpy bandwidth *falls*).  Each level runs in a
+    FRESH PROCESS pinned with ``taskset -c 0..cores-1`` (see
+    scripts/scale_level.py): the whole level — JVM, GC, shuffle IO,
+    Python workers — is confined to exactly N cores, the way an N-core
+    cluster slice would be (in-process levels let the JVM's auxiliary
+    threads spill onto the host's idle cores, so neither level measured
+    what N cores can do).  The host also throttles first-touch page
+    faults at a time-varying global rate, so a single N/4N pair can
+    straddle two host states; we run ``pairs`` interleaved (N, 4N)
+    pairs — each level min-of-3 measured runs after one unmeasured dry
+    run (symmetric estimator: the min is the least-throttled window at
+    BOTH levels) — and report the median pairwise efficiency, with
+    every raw measurement disclosed.
 
     Input sizing: SCALING_ROWS defaults to 1.6M rows (~800k rows/core at
     N=2) so the per-job fixed overhead (plan, barrier, snapshot commit —
     the `ovh` column) is a small fraction of the job; at 100 TB it is
     invisible.
     """
-    from vcf2parquet_spark.session import get_spark
-
     n_small = max(1, SCALE_N)
     n_big = n_small * 4
     # generate both scaling inputs on the wide session (one-time, untimed)
@@ -318,45 +325,22 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
         [n_small, n_big, min(4 * n_big, os.cpu_count() or n_big)]))
     probe = host_probe(probe_levels)
 
-    def _udf_seconds(out: str) -> float:
-        import json as _json
-        total = 0.0
-        for f in glob.glob(f"{out}/manifests/*.json"):
-            with open(f) as fh:
-                total += _json.load(fh)["metrics"]["seconds"]
-        return total
-
     def run_one(cores: int, tag: str, mode: str) -> dict:
-        spark = get_spark(cores=cores, app_name=f"vp_scaling_{cores}_{tag}",
-                          extra_conf=bench_conf())
-        runner = (bench_encode_clustered if mode == "clustered"
-                  else bench_encode)
-        corpus = (materialize_rg_corpus(spark, SCALING_ROWS)
-                  if mode == "clustered"
-                  else materialize_corpus(spark, SCALING_ROWS))
-        # steady-state dry run (JIT, python-worker pools, footer caches)
-        # on a slice — full-input dry runs would double the wall cost
-        dry_in = f"{WORK_DIR}/scale_dry_{mode}"
-        if not os.path.exists(dry_in):
-            w = spark.read.parquet(corpus).limit(100_000).write \
-                .mode("overwrite")
-            if mode == "clustered":
-                w = w.option("parquet.block.size", 2 * 1024 * 1024)
-            w.parquet(dry_in)
-        runner(spark, dry_in, f"{WORK_DIR}/scale_dry_{mode}_{cores}",
-               target_rows=3000)
-        out = f"{WORK_DIR}/scale_{mode}_{cores}"
-        # min of 2 measured runs: the host's first-touch fault throttle
-        # varies minute-to-minute; the min is the least-throttled window
-        dt1, _ = runner(spark, corpus, out, target_rows=3000)
-        dt, job = runner(spark, corpus, out, target_rows=3000)
-        dt = min(dt, dt1)
-        spark.stop()
-        return {"seconds": round(dt, 3),
-                "gbps": round(job["raw_bytes"] / 1e9 / dt, 4),
-                "rows": job["n_rows"], "raw_bytes": job["raw_bytes"],
-                "n_partitions": job["n_partitions"],
-                "udf_seconds": round(_udf_seconds(out), 1)}
+        import subprocess
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "scale_level.py")
+        cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, script,
+               "--cores", str(cores), "--mode", mode,
+               "--rows", str(SCALING_ROWS), "--target-rows", "3000",
+               "--runs", "3", "--tag", tag]
+        p = subprocess.run(cmd, capture_output=True, text=True)
+        lines = [ln for ln in p.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if p.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"scale level failed ({cores} cores, {mode}): "
+                f"{p.stderr[-2000:]}")
+        return json.loads(lines[-1])
 
     def run_mode(mode: str, n_pairs: int) -> dict:
         runs: list[dict] = []
@@ -522,10 +506,18 @@ def _write_baseline_md(s: dict) -> None:
         "at 100 TB each executor's share is orders of magnitude larger",
         "still, amortizing the constant to nothing.",
         "",
-        "Each (N, 4N) pair runs back-to-back, each level in a fresh session",
-        "with one unmeasured dry run first (steady state); multiple pairs",
-        "are interleaved because the host throttles first-touch page faults",
-        "at a time-varying global rate, so a single pair can straddle two",
+        "Each (N, 4N) pair runs back-to-back.  Each level is a FRESH",
+        "PROCESS pinned with `taskset -c 0..cores-1` (scripts/",
+        "scale_level.py), so the whole level — JVM, GC, shuffle IO,",
+        "Python workers — is confined to exactly N cores, as an N-core",
+        "cluster slice would be; an in-process level lets the JVM's",
+        "auxiliary threads spill onto the host's idle cores, so neither",
+        "level would measure what N cores can do.  Per level: one",
+        "unmeasured dry run (steady state), then min of 3 measured runs",
+        "— the same symmetric estimator at both levels (the host",
+        "throttles first-touch page faults at a time-varying global",
+        "rate; the min is the least-throttled window).  Multiple pairs",
+        "are interleaved because a single pair can still straddle two",
         "host states.  Median over pairs is reported; every raw number is",
         "in the table.",
         "",

@@ -22,6 +22,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# under spark-submit the package comes from --py-files; under plain
+# ``python scripts/encode_job.py`` it comes from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
@@ -32,6 +38,14 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=100_000)
     ap.add_argument("--codec", action="append", metavar="COL=CODEC")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--clustered", action="store_true",
+                    help="shuffle-free path: encode the input table's "
+                         "physical rowgroup ranges in place (use when the "
+                         "input is already laid out as wanted, e.g. an "
+                         "Iceberg partition)")
+    ap.add_argument("--arrow-cpu", type=int, default=2,
+                    help="pyarrow threads per task worker; set ~= "
+                         "spark.task.cpus")
     ap.add_argument("--verify", action="store_true",
                     help="decode + sha256 multiset check after encode")
     args = ap.parse_args()
@@ -43,16 +57,20 @@ def main() -> int:
                .config("spark.io.compression.codec", "zstd"))
     spark = builder.getOrCreate()   # master/executors come from spark-submit
 
-    from vcf2parquet_spark.encode import encode
+    from vcf2parquet_spark.encode import encode, encode_clustered
     overrides = dict(kv.split("=", 1) for kv in (args.codec or []))
-    df = spark.read.parquet(args.input)
-    job = encode(spark, df, args.output,
-                 target_rows=args.target_rows, batch_size=args.batch_size,
-                 codec_overrides=overrides, resume=not args.no_resume)
+    common = dict(target_rows=args.target_rows, batch_size=args.batch_size,
+                  codec_overrides=overrides, resume=not args.no_resume,
+                  arrow_cpu=args.arrow_cpu)
+    if args.clustered:
+        job = encode_clustered(spark, args.input, args.output, **common)
+    else:
+        job = encode(spark, spark.read.parquet(args.input), args.output,
+                     **common)
     print(json.dumps(job, indent=1))
     if args.verify:
         from vcf2parquet_spark.decode import verify
-        res = verify(spark, df, args.output)
+        res = verify(spark, spark.read.parquet(args.input), args.output)
         print(json.dumps(res))
         return 0 if res["ok"] else 1
     return 0
