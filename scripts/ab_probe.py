@@ -37,21 +37,16 @@ def main():
 
     res = {}
     cfgs = {
+        "cl_plain": lambda o: encode_clustered(
+            spark, rg, o, target_rows=2500, read_mode="plain"),
+        "cl_mmap": lambda o: encode_clustered(
+            spark, rg, o, target_rows=2500, read_mode="mmap"),
+        "cl_prebuf": lambda o: encode_clustered(
+            spark, rg, o, target_rows=2500, read_mode="pre_buffer"),
         "stream": lambda o: encode(spark, spark.read.parquet(corpus), o,
                                    target_rows=2500, arrow_stream=True),
-        "stream_pin": lambda o: encode(spark, spark.read.parquet(corpus), o,
-                                       target_rows=2500, arrow_stream=True,
-                                       arrow_cpu=1),
-        "grouped": lambda o: encode(spark, spark.read.parquet(corpus), o,
-                                    target_rows=2500, arrow_stream=False),
-        "clustered": lambda o: encode_clustered(spark, rg, o,
-                                                target_rows=2500),
-        "clustered_pin1": lambda o: encode_clustered(
-            spark, rg, o, target_rows=2500, arrow_cpu=1),
-        "clustered_pin2": lambda o: encode_clustered(
-            spark, rg, o, target_rows=2500, arrow_cpu=2),
     }
-    for rnd in range(3):
+    for rnd in range(4):
         for name, fn in cfgs.items():
             dt = t(fn)
             res.setdefault(name, []).append(dt)

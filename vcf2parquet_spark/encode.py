@@ -118,6 +118,11 @@ class EncodeOptions:
                               # the cold-start outlier 15.8s -> 4.4s on
                               # the stream path).  On a real cluster set
                               # ~= spark.task.cpus.  0 = pyarrow default.
+    read_mode: str = "mmap"   # clustered-path rowgroup reads: "mmap"
+                              # (page-cache-backed, no copy into a fresh
+                              # arena — best on local/NVMe), "pre_buffer"
+                              # (coalesced range reads — best on object
+                              # stores like S3), or "plain"
 
 
 def _pin_arrow(n: int) -> None:
@@ -626,6 +631,22 @@ def encode_clustered(spark: SparkSession, input_dir: str, output: str,
 
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
         _pin_arrow(opts_b.arrow_cpu)
+
+        def _load(p, a, z):
+            if opts_b.read_mode == "mmap":
+                # page-cache-backed mapping: decompression reads the OS
+                # cache directly instead of first copying every byte
+                # into a fresh arena buffer
+                src = pa.memory_map(p)
+            else:
+                src = p
+            f = pq.ParquetFile(src,
+                               pre_buffer=(opts_b.read_mode == "pre_buffer"))
+            try:
+                return f.read_row_groups(list(range(a, z)))
+            finally:
+                f.close()
+
         for b in batches:
             pids = b.column("part_id").to_pylist()
             paths = b.column("path").to_pylist()
@@ -634,8 +655,7 @@ def encode_clustered(spark: SparkSession, input_dir: str, output: str,
             for pid, path, lo, hi in zip(pids, paths, los, his):
                 summary = encode_partition(
                     int(pid), None, output, opts_b, out_cols,
-                    loader=lambda p=path, a=lo, z=hi:
-                        pq.ParquetFile(p).read_row_groups(list(range(a, z))))
+                    loader=lambda p=path, a=lo, z=hi: _load(p, a, z))
                 yield pa.RecordBatch.from_pylist([summary],
                                                  schema=_sum_schema)
 
