@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
                             "(requires -f parquet; the Iceberg-partition "
                             "encode — content bytes never enter the JVM "
                             "or a shuffle)")
+        p.add_argument("--read-mode", choices=["mmap", "pre_buffer", "plain"],
+                       default="mmap",
+                       help="clustered-path rowgroup read strategy: mmap "
+                            "(page-cache, local/NVMe), pre_buffer "
+                            "(coalesced ranges, object stores), plain")
         p.add_argument("--no-resume", action="store_true")
         p.add_argument("--parquet-version", choices=["1.0", "2.4", "2.6"],
                        default="2.6",
@@ -160,7 +165,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.format != "parquet":
                     raise SystemExit("--clustered requires -f parquet")
                 job = encode_clustered(spark, args.input, args.output,
-                                       **common)
+                                       read_mode=args.read_mode, **common)
             else:
                 df = read_corpus(spark, args.input, fmt=args.format)
                 job = encode(spark, df, args.output, **common)
