@@ -122,6 +122,12 @@ def test_encode_clustered_deterministic_bytes(spark, tmp_path):
                                        shuffle_oversub=oversub))
         digests.append(_block_digests(out))
     assert digests[0] == digests[1]
+    # ...and independent of the rowgroup read strategy
+    for i, mode in enumerate(("pre_buffer", "plain")):
+        out = str(tmp_path / f"m{i}")
+        encode_clustered(spark, src, out,
+                         EncodeOptions(target_rows=1_200, read_mode=mode))
+        assert _block_digests(out) == digests[0], mode
 
 
 def test_encode_clustered_decode_columns(spark, tmp_path):
