@@ -86,3 +86,27 @@ def test_overrides_win():
     profs = {"x": {"type": "string", "n": 10, "n_nulls": 0, "n_distinct": 1,
                    "distinct_ratio": 0.1, "avg_run": 10.0, "entropy": 1.0}}
     assert choose_codecs(profs, {"x": "plain"})["x"] == "plain"
+
+
+def test_long_strings_plain_routing():
+    """long_strings="plain" routes only LONG string columns to
+    plain+brotli-9; short-string columns keep FSST either way."""
+    long_col = {"type": "string", "n": 1000, "n_nulls": 0,
+                "n_distinct": 990, "distinct_ratio": 0.99, "avg_run": 1.0,
+                "entropy": 4.8, "avg_len": 900.0}
+    short_col = dict(long_col, avg_len=40.0)
+    assert choose_codec(long_col) == "fsst+zlib"              # default
+    assert choose_codec(long_col,
+                        long_strings="plain") == "plain+brotli9"
+    assert choose_codec(short_col,
+                        long_strings="plain") == "fsst+zlib"
+
+
+def test_brotli9_cascade_roundtrip():
+    import pyarrow as pa
+    from vcf2parquet_spark.kernels import decode_column, encode_column
+    arr = pa.array([("line %d of source\n" % i) * 40 for i in range(200)]
+                   + [None])
+    for spec in ("plain+brotli9", "plain+zstd15"):
+        p, m = encode_column(arr, spec)
+        assert decode_column(p, m).equals(arr), spec

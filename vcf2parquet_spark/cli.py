@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
                             "(requires -f parquet; the Iceberg-partition "
                             "encode — content bytes never enter the JVM "
                             "or a shuffle)")
+        p.add_argument("--long-strings", choices=["fsst", "plain"],
+                       default="fsst",
+                       help="string columns with mean length >= 256 B: "
+                            "fsst+residual (default) or plain+brotli-9 "
+                            "(measured 3.3x faster AND tighter on long "
+                            "source text; FSST keeps short columns)")
         p.add_argument("--read-mode", choices=["mmap", "pre_buffer", "plain"],
                        default="mmap",
                        help="clustered-path rowgroup read strategy: mmap "
@@ -159,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
                           target_rows=target,
                           codec_overrides=_parse_overrides(args.codec),
                           residual=args.residual,
+                          long_strings=args.long_strings,
                           resume=not args.no_resume,
                           parquet_version=args.parquet_version)
             if getattr(args, "clustered", False):

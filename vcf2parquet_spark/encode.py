@@ -118,6 +118,15 @@ class EncodeOptions:
                               # the cold-start outlier 15.8s -> 4.4s on
                               # the stream path).  On a real cluster set
                               # ~= spark.task.cpus.  0 = pyarrow default.
+    long_strings: str = "fsst"  # "plain": route string columns with mean
+                              # length >= select.LONG_STRING to
+                              # plain+brotli-9 instead of fsst+residual —
+                              # measured 3.3x faster AND tighter on the
+                              # bench content column (ratio 15.33 @ 28
+                              # MB/s/core vs 12.64 @ 8.7); FSST keeps the
+                              # short-string columns either way.  Default
+                              # stays "fsst" (the committed evidence and
+                              # golden pins were measured with it).
     read_mode: str = "mmap"   # clustered-path rowgroup reads: "mmap"
                               # (page-cache-backed, no copy into a fresh
                               # arena — best on local/NVMe), "pre_buffer"
@@ -266,7 +275,8 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
         t = _derive_int_columns(t)
     profiles = {c: profile_arrow(t.column(c), c) for c in t.column_names}
     codecs = choose_codecs(profiles, opts.codec_overrides,
-                           residual=opts.residual)
+                           residual=opts.residual,
+                           long_strings=opts.long_strings)
 
     rows: dict[str, list] = {k: [] for k in
                              ("part_id", "block_idx", "column", "codec",

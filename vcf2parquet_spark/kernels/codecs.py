@@ -276,14 +276,20 @@ def zlib_unwrap(payload: bytes) -> bytes:
 # algorithms carry an 8-byte LE uncompressed-length prefix because
 # ``pa.Codec.decompress`` needs the output size up front.  Levels are
 # pinned for deterministic bytes.
-CASCADES = ("zlib", "zstd", "lz4", "brotli", "gzip")
-_PA_LEVELS = {"zstd": 9, "brotli": 5, "gzip": 6, "lz4": None}
+CASCADES = ("zlib", "zstd", "lz4", "brotli", "gzip", "brotli9", "zstd15")
+_PA_LEVELS = {"zstd": 9, "brotli": 5, "gzip": 6, "lz4": None,
+              "brotli9": 9, "zstd15": 15}
+# level-pinned aliases (brotli9, zstd15) exist so a SELECTOR rule can
+# demand a specific strength deterministically — levels are part of the
+# codec name, so block bytes stay reproducible across workers/sessions
+_PA_BASE = {"brotli9": "brotli", "zstd15": "zstd"}
 
 
 def _pa_codec(algo: str):
     level = _PA_LEVELS[algo]
-    return (pa.Codec(algo) if level is None
-            else pa.Codec(algo, compression_level=level))
+    base = _PA_BASE.get(algo, algo)
+    return (pa.Codec(base) if level is None
+            else pa.Codec(base, compression_level=level))
 
 
 def cascade_wrap(payload: bytes, algo: str) -> bytes:

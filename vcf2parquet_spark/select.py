@@ -58,8 +58,21 @@ HIGH_ENTROPY = 7.3   # bits/byte; above -> symbol tables won't help
 # 3x the compress speed) flip the default per job.
 DEFAULT_RESIDUAL = "zlib"
 
+# long_strings="plain" routing: for columns whose mean value length is
+# above LONG_STRING bytes, a windowed block-level residual subsumes
+# almost all of FSST's gain — measured on the bench corpus content
+# column (mean 915 B): fsst+zlib ratio 12.64 at 8.7 MB/s/core vs
+# plain+brotli-9 ratio 15.33 at 28.3 MB/s/core — better on BOTH axes.
+# FSST remains the champion for short-string columns (path: per-value
+# symbol tables + random access) and stays the default selector
+# ("fsst") so existing evidence/pins hold; flip per job via
+# EncodeOptions(long_strings="plain") / CLI --long-strings plain.
+LONG_STRING = 256        # mean bytes/value
+LONG_RESIDUAL = "brotli9"  # level pinned in the name (deterministic bytes)
 
-def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL) -> str:
+
+def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL,
+                 long_strings: str = "fsst") -> str:
     """Pick a codec spec for one column from its profile stats."""
     if stats["type"].startswith("list<"):
         # offsets framing is fixed (delta+FOR); the choice recurses on
@@ -67,7 +80,7 @@ def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL) -> str:
         child = stats.get("child") or {}
         if not child or child.get("n", 0) == 0:
             return "list:plain"
-        return "list:" + choose_codec(child, residual)
+        return "list:" + choose_codec(child, residual, long_strings)
     if stats["type"] in ("float32", "float64"):
         n_vals = stats["n"] - stats["n_nulls"]
         if n_vals == 0 or stats["n_distinct"] <= 1:
@@ -110,17 +123,21 @@ def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL) -> str:
             return "dict"
         if stats["entropy"] >= HIGH_ENTROPY:
             return "plain+" + residual
+        if (long_strings == "plain"
+                and stats.get("avg_len", 0.0) >= LONG_STRING):
+            return "plain+" + LONG_RESIDUAL
         return "fsst+" + residual
     raise TypeError(f"unsupported type: {stats['type']}")
 
 
 def choose_codecs(profiles: dict[str, dict],
                   overrides: dict[str, str] | None = None,
-                  residual: str = DEFAULT_RESIDUAL) -> dict[str, str]:
+                  residual: str = DEFAULT_RESIDUAL,
+                  long_strings: str = "fsst") -> dict[str, str]:
     out = {}
     for col, stats in profiles.items():
         if overrides and col in overrides:
             out[col] = overrides[col]
         else:
-            out[col] = choose_codec(stats, residual)
+            out[col] = choose_codec(stats, residual, long_strings)
     return out
