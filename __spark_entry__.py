@@ -191,7 +191,8 @@ def q_for_width(spark, sf_dir):
 
 
 # added op: codec auto-selection (profile -> codec rule table, SQL-expressible
-# slice: dictionary/plain decision from cardinality; mirrors select.py rules)
+# slice: dict from cardinality, then long strings (mean length >= 256 B) to
+# plain+brotli-9, short to FSST — mirrors select.py's round-4 default rules)
 def q_codec_plan(spark, sf_dir):
     df = _doc(spark, sf_dir)
     stats = []
@@ -199,14 +200,16 @@ def q_codec_plan(spark, sf_dir):
         stats.append(df.agg(
             F.lit(c).alias("column"),
             F.count(c).alias("n"),
-            F.countDistinct(c).alias("n_distinct")))
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.avg(F.length(c)), 4).alias("avg_len")))
     prof = stats[0]
     for s in stats[1:]:
         prof = prof.unionByName(s)
     ratio = F.col("n_distinct") / F.col("n")
     return prof.select(
-        "column", "n", "n_distinct",
+        "column", "n", "n_distinct", "avg_len",
         F.when((ratio <= 0.05) | (F.col("n_distinct") <= 256), "dict")
+         .when(F.col("avg_len") >= 256, "plain+brotli9")
          .otherwise("fsst+zlib").alias("codec"))
 
 
@@ -364,11 +367,29 @@ def q_multimodal_meta(spark, sf_dir):
         F.sha2(F.encode(F.col("text"), "utf-8"), 256).alias("checksum"))
 
 
+def _roundtrip_matched(df: DataFrame, decoded: DataFrame) -> DataFrame:
+    """MULTISET compare of input vs decoded (repo, path, sha256(content))
+    rows: per-key group counts on both sides, inner-joined, summing
+    least(n_in, n_out).  Unlike an ``intersect`` (set semantics), a
+    dropped or double-emitted duplicate row changes the result — the
+    same strictness as decode.verify()'s full check."""
+    def counted(d, side):
+        return (d.groupBy("repo", "path",
+                          F.sha2("content", 256).alias("sha"))
+                .agg(F.count("*").alias(side)))
+    j = counted(df, "n_a").join(counted(decoded, "n_b"),
+                                ["repo", "path", "sha"])
+    return j.agg(F.coalesce(F.sum(F.least("n_a", "n_b")), F.lit(0))
+                 .cast("long").alias("n_matched"))
+
+
 def q_encode_roundtrip(spark, sf_dir):
     """Flagship: full encode + decode + per-row sha256 match count over
     the driver's own documents table (reshaped to corpus columns, the
-    same adapter as q_source_scan).  Every row must survive the codec
-    kernels bit-identically for n_matched to equal count(*) — which is
+    same adapter as q_source_scan) — plus one deliberately DUPLICATED
+    row, so the multiset compare proves duplicates survive encode/decode
+    as distinct rows.  Every row must survive the codec kernels
+    bit-identically for n_matched to equal count(*) + 1 — which is
     exactly what the DuckDB oracle asserts, mirroring the reference's
     golden end-to-end (/root/reference/src/lib.rs:127-257)."""
     import tempfile
@@ -383,12 +404,10 @@ def q_encode_roundtrip(spark, sf_dir):
         F.md5("text").alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"))
+    df = df.unionByName(df.filter(F.col("path") == "0"))  # injected dup
     encode(spark, df, out, batch_size=1000, target_rows=1000)
     decoded = dec(spark, out)
-    a = df.select("repo", "path", F.sha2("content", 256).alias("sha"))
-    b = decoded.select("repo", "path", F.sha2("content", 256).alias("sha"))
-    return (a.intersect(b).groupBy()
-            .agg(F.count("*").alias("n_matched")))
+    return _roundtrip_matched(df, decoded)
 
 
 def q_clustered_roundtrip(spark, sf_dir):
@@ -397,8 +416,9 @@ def q_clustered_roundtrip(spark, sf_dir):
     materialized as a small-rowgroup parquet table (the physical layout
     an Iceberg partition would present), encoded by rowgroup range with
     encode_clustered — content bytes never transit the JVM — then
-    decoded and sha256-matched row-by-row.  n_matched == count(*) iff
-    every row survives bit-identically (reference golden end-to-end:
+    decoded and sha256-matched as a MULTISET (one deliberately
+    duplicated row included).  n_matched == count(*) + 1 iff every row
+    survives bit-identically (reference golden end-to-end:
     /root/reference/src/lib.rs:127-257)."""
     import tempfile
 
@@ -413,14 +433,12 @@ def q_clustered_roundtrip(spark, sf_dir):
         F.md5("text").alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"))
+    df = df.unionByName(df.filter(F.col("path") == "0"))  # injected dup
     (df.repartition(4).write.mode("overwrite")
        .option("parquet.block.size", 256 * 1024).parquet(src))
     encode_clustered(spark, src, out, batch_size=1000, target_rows=1000)
     decoded = dec(spark, out)
-    a = df.select("repo", "path", F.sha2("content", 256).alias("sha"))
-    b = decoded.select("repo", "path", F.sha2("content", 256).alias("sha"))
-    return (a.intersect(b).groupBy()
-            .agg(F.count("*").alias("n_matched")))
+    return _roundtrip_matched(spark.read.parquet(src), decoded)
 
 
 def q_media_features(spark, sf_dir):
@@ -634,17 +652,22 @@ def oracle_sql() -> dict[str, str]:
         "codec_plan": """
             WITH prof AS (
               SELECT 'lang' AS column, count(lang) AS n,
-                     count(DISTINCT lang) AS n_distinct FROM documents
+                     count(DISTINCT lang) AS n_distinct,
+                     round(avg(length(lang)), 4) AS avg_len FROM documents
               UNION ALL
-              SELECT 'source', count(source), count(DISTINCT source)
+              SELECT 'source', count(source), count(DISTINCT source),
+                     round(avg(length(source)), 4)
               FROM documents
               UNION ALL
-              SELECT 'text', count(text), count(DISTINCT text) FROM documents
+              SELECT 'text', count(text), count(DISTINCT text),
+                     round(avg(length(text)), 4) FROM documents
             )
-            SELECT "column", n, n_distinct,
+            SELECT "column", n, n_distinct, avg_len,
                    CASE WHEN n_distinct / CAST(n AS DOUBLE) <= 0.05
                              OR n_distinct <= 256
-                        THEN 'dict' ELSE 'fsst+zlib' END AS codec
+                        THEN 'dict'
+                        WHEN avg_len >= 256 THEN 'plain+brotli9'
+                        ELSE 'fsst+zlib' END AS codec
             FROM prof
         """,
         "float_codec_plan": """
@@ -960,16 +983,17 @@ def oracle_sql() -> dict[str, str]:
                    sha256(sampled) AS checksum
             FROM s
         """,
-        # encode_roundtrip's Spark side intersects input vs decoded
-        # (repo, path, sha256) — a count equal to count(*) proves every
-        # row round-tripped bit-identically through the codec kernels
-        # (doc_id is unique, so the distinct intersect loses no rows)
+        # encode_roundtrip's Spark side MULTISET-compares input vs
+        # decoded (repo, path, sha256) group counts — n_matched equal to
+        # count(*) + 1 (the + 1 is the deliberately injected duplicate
+        # of doc 0) proves every row, duplicates included, round-tripped
+        # bit-identically through the codec kernels
         "encode_roundtrip": """
-            SELECT CAST(count(*) AS BIGINT) AS n_matched FROM documents
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_matched FROM documents
         """,
         # identical guarantee through the shuffle-free clustered path
         "clustered_roundtrip": """
-            SELECT CAST(count(*) AS BIGINT) AS n_matched FROM documents
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_matched FROM documents
         """,
     } | {"ann_buckets": _ann_buckets_sql(),
          "embedding_near_dups": _near_dups_sql()}

@@ -31,7 +31,8 @@ def _cases() -> dict[str, tuple[pa.Array, str]]:
         "rle_commit": (t["commit"].combine_chunks(), "rle"),
         "fsst_path": (t["path"].combine_chunks(), "fsst"),
         "fsst_zlib_content": (t["content"].combine_chunks(), "fsst+zlib"),
-        # round 3: residual-stage breadth (default residual is zstd)
+        # round 3: residual-stage breadth (zstd is an optional residual;
+        # zlib remains the default — select.DEFAULT_RESIDUAL)
         "fsst_zstd_content": (t["content"].combine_chunks(), "fsst+zstd"),
         "plain_repo": (t["repo"].combine_chunks(), "plain"),
         "bitpack_size": (ints, "bitpack"),

@@ -100,7 +100,10 @@ STR_EDGE = [
                                    # full residual-stage breadth (the
                                    # reference's codec enum analogue)
                                    "fsst+zstd", "fsst+lz4", "fsst+brotli",
-                                   "fsst+gzip", "plain+zstd"])
+                                   "fsst+gzip", "plain+zstd",
+                                   # snappy: the reference's DEFAULT file
+                                   # codec (cli.rs:134) as a residual
+                                   "fsst+snappy", "plain+snappy"])
 def test_string_roundtrip_edge_cases(codec):
     arr = pa.array(STR_EDGE, type=pa.string())
     payload, meta = encode_column(arr, codec)

@@ -80,6 +80,17 @@ def test_profile_df_is_single_scan_partial_agg(spark, corpus_path):
     assert sm.count("Scan parquet") == 1, sm
 
 
+def test_profile_df_dotted_column_names(spark):
+    """A source column named 'a.b' must profile as one identifier, not
+    parse as a struct-field access in the generated alias references."""
+    from vcf2parquet_spark.profile import profile_df
+    df = spark.createDataFrame(
+        [("x", 3), ("y", 4), (None, 5)], ["a.b", "n`v"])
+    rows = {r["column"]: r for r in profile_df(df).collect()}
+    assert rows["a.b"]["n"] == 2 and rows["a.b"]["n_nulls"] == 1
+    assert rows["n`v"]["n"] == 3 and rows["n`v"]["max_len"] == 5.0
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     from vcf2parquet_spark.functions.similarity import cosine_topk
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -75,7 +75,10 @@ def test_selection_golden_on_corpus():
     assert codecs["lang"] == "dict"         # 20 values, short runs
     assert codecs["commit"] == "rle"        # commit runs within repo
     assert codecs["path"] in ("fsst+zlib",)  # near-unique structured strings
-    assert codecs["content"] in ("fsst+zlib",)
+    # long values (mean ~900 B): block-level plain+brotli-9 beats FSST
+    # on both axes (default since round 4); FSST routing still available
+    assert codecs["content"] == "plain+brotli9"
+    assert choose_codecs(profs, long_strings="fsst")["content"] == "fsst+zlib"
     # derived ints
     sb = pc.binary_length(t["content"]).cast(pa.int64())
     s = profile_arrow(sb, "size_bytes")
@@ -89,17 +92,17 @@ def test_overrides_win():
 
 
 def test_long_strings_plain_routing():
-    """long_strings="plain" routes only LONG string columns to
-    plain+brotli-9; short-string columns keep FSST either way."""
+    """The default routes only LONG string columns to plain+brotli-9;
+    short-string columns keep FSST either way; long_strings="fsst"
+    restores the pre-round-4 routing."""
     long_col = {"type": "string", "n": 1000, "n_nulls": 0,
                 "n_distinct": 990, "distinct_ratio": 0.99, "avg_run": 1.0,
                 "entropy": 4.8, "avg_len": 900.0}
     short_col = dict(long_col, avg_len=40.0)
-    assert choose_codec(long_col) == "fsst+zlib"              # default
-    assert choose_codec(long_col,
-                        long_strings="plain") == "plain+brotli9"
-    assert choose_codec(short_col,
-                        long_strings="plain") == "fsst+zlib"
+    assert choose_codec(long_col) == "plain+brotli9"          # default
+    assert choose_codec(long_col, long_strings="fsst") == "fsst+zlib"
+    assert choose_codec(short_col) == "fsst+zlib"
+    assert choose_codec(short_col, long_strings="fsst") == "fsst+zlib"
 
 
 def test_brotli9_cascade_roundtrip():

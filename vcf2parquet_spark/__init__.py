@@ -33,6 +33,6 @@ __all__ = ["encode", "decode", "verify", "synth_corpus", "__version__"]
 
 from vcf2parquet_spark.corpus import synth_corpus
 from vcf2parquet_spark.encode import EncodeOptions, encode, encode_clustered
-from vcf2parquet_spark.decode import decode, register_view, verify
+from vcf2parquet_spark.decode import decode, register_view, sql, verify
 
-__all__ += ["EncodeOptions", "encode_clustered", "register_view"]
+__all__ += ["EncodeOptions", "encode_clustered", "register_view", "sql"]

@@ -63,11 +63,15 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("-c", "--codec", action="append", metavar="COL=CODEC",
                        help="per-column codec override")
         p.add_argument("--residual",
-                       choices=["zlib", "zstd", "lz4", "brotli", "gzip"],
+                       choices=["zlib", "zstd", "lz4", "brotli", "gzip",
+                                "snappy"],
                        default="zlib",
                        help="general-purpose residual stage behind "
                             "auto-selected base codecs (the reference's "
-                            "file-level codec enum, cli.rs:119-136)")
+                            "file-level codec enum, cli.rs:119-136; its "
+                            "lzo member is unimplemented by every parquet "
+                            "writer incl. the reference's — see "
+                            "kernels/codecs.py CASCADES note)")
         p.add_argument("--target-rows", type=int, default=250_000)
         p.add_argument("--clustered", action="store_true",
                        help="shuffle-free path: encode the input parquet "
@@ -76,11 +80,19 @@ def main(argv: list[str] | None = None) -> int:
                             "encode — content bytes never enter the JVM "
                             "or a shuffle)")
         p.add_argument("--long-strings", choices=["fsst", "plain"],
-                       default="fsst",
+                       default="plain",
                        help="string columns with mean length >= 256 B: "
-                            "fsst+residual (default) or plain+brotli-9 "
-                            "(measured 3.3x faster AND tighter on long "
-                            "source text; FSST keeps short columns)")
+                            "plain+brotli-9 (default; measured 3.3x "
+                            "faster AND tighter on long source text) or "
+                            "fsst+residual; FSST keeps short columns "
+                            "either way")
+        p.add_argument("--shuffle-payload", choices=["raw", "packed"],
+                       default="raw",
+                       help="general-path exchange payload: raw rows or "
+                            "zstd-1-compressed Arrow-IPC sub-batch blobs "
+                            "(packed: ~3-6x fewer bytes through the "
+                            "shuffle fabric + reduce-side IPC on source "
+                            "text; block bytes identical)")
         p.add_argument("--read-mode", choices=["mmap", "pre_buffer", "plain"],
                        default="mmap",
                        help="clustered-path rowgroup read strategy: mmap "
@@ -166,6 +178,7 @@ def main(argv: list[str] | None = None) -> int:
                           codec_overrides=_parse_overrides(args.codec),
                           residual=args.residual,
                           long_strings=args.long_strings,
+                          shuffle_payload=args.shuffle_payload,
                           resume=not args.no_resume,
                           parquet_version=args.parquet_version)
             if getattr(args, "clustered", False):

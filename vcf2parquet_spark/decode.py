@@ -196,8 +196,13 @@ def decode(spark: SparkSession, output: str,
                 # would copy every encoded byte into Python bytes
                 # objects before the kernels even see them (kernels
                 # slice via get_section and np.frombuffer, both
-                # memoryview-safe)
-                data_arr = t.column("data").combine_chunks()
+                # memoryview-safe).  Cast to large_binary BEFORE
+                # combine_chunks: a multi-chunk binary column whose
+                # payloads sum past 2 GiB would overflow int32 offsets
+                # in combine_chunks (ArrowInvalid); 64-bit offsets
+                # remove the coupling to encode's per-file bound.
+                data_arr = (t.column("data").cast(pa.large_binary())
+                            .combine_chunks())
                 blocks: dict[int, dict] = {}
                 for i in range(len(bidx)):
                     blocks.setdefault(int(bidx[i]), {})[names[i]] = (
@@ -238,10 +243,53 @@ def register_view(spark: SparkSession, output: str, name: str,
     is fixed when the view is registered: pass ``columns=`` to prune
     the pyarrow block read itself (Catalyst prunes only above the map),
     and ``filters=`` for manifest-level partition pruning.  kwargs are
-    decode()'s (columns=, snapshot_id=, filters=, ...)."""
+    decode()'s (columns=, snapshot_id=, filters=, ...).  For automatic
+    per-query pruning use :func:`sql` instead."""
     df = decode(spark, output, **decode_kwargs)
     df.createOrReplaceTempView(name)
     return df
+
+
+_IDENT_RE = __import__("re").compile(r"`([^`]*)`|[A-Za-z_][A-Za-z0-9_$]*")
+
+
+def referenced_columns(query: str, all_columns: list[str]) -> list[str]:
+    """Conservative per-query column-set extraction: every identifier
+    token (bare or backquoted) in the SQL text, intersected with the
+    table's columns, case-insensitively (Spark resolution default).
+
+    Over-approximates by design — a column named inside a string
+    literal or comment is kept (costs a decoded column, never
+    correctness), and any ``*`` (star expansion, including ``count(*)``)
+    keeps every column.  Under-approximation is impossible: a direct
+    column reference must spell the column name as an identifier."""
+    if "*" in query:
+        return list(all_columns)
+    toks = {(m.group(1) if m.group(1) is not None else m.group(0)).lower()
+            for m in _IDENT_RE.finditer(query)}
+    need = [c for c in all_columns if c.lower() in toks]
+    return need or list(all_columns)
+
+
+def sql(spark: SparkSession, output: str, query: str,
+        view: str = "corpus", **decode_kwargs) -> DataFrame:
+    """Run a SQL query over an encoded table with PER-QUERY column
+    pruning — ``sql(spark, out, 'SELECT lang FROM corpus')`` reads only
+    the ``lang`` block rows from disk.
+
+    Catalyst prunes columns only *above* a ``mapInArrow`` (the UDF's
+    output schema is opaque to it), so a statically-registered view
+    must decode every column for any query.  This wrapper re-registers
+    ``view`` per query with ``columns=`` set to the query's referenced
+    column set (:func:`referenced_columns`) — the pyarrow block read
+    then materializes only those columns' rows (same IO shape as
+    ``decode(columns=...)``).  kwargs forward to :func:`decode`
+    (snapshot_id=, filters=, include_derived=, ...)."""
+    meta = tbl.read_table_meta(output)
+    all_cols = decode_kwargs.pop("columns", None) or meta["schema_columns"]
+    need = referenced_columns(query, all_cols)
+    register_view(spark, output, view, columns=need, **decode_kwargs)
+    return spark.sql(query)
 
 
 def verify(spark: SparkSession, df: DataFrame, output: str) -> dict:

@@ -118,15 +118,26 @@ class EncodeOptions:
                               # the cold-start outlier 15.8s -> 4.4s on
                               # the stream path).  On a real cluster set
                               # ~= spark.task.cpus.  0 = pyarrow default.
-    long_strings: str = "fsst"  # "plain": route string columns with mean
-                              # length >= select.LONG_STRING to
-                              # plain+brotli-9 instead of fsst+residual —
-                              # measured 3.3x faster AND tighter on the
+    long_strings: str = "plain"  # DEFAULT since round 4: string columns
+                              # with mean length >= select.LONG_STRING go
+                              # to plain+brotli-9 instead of fsst+residual
+                              # — measured 3.3x faster AND tighter on the
                               # bench content column (ratio 15.33 @ 28
                               # MB/s/core vs 12.64 @ 8.7); FSST keeps the
-                              # short-string columns either way.  Default
-                              # stays "fsst" (the committed evidence and
-                              # golden pins were measured with it).
+                              # short-string columns either way.  "fsst"
+                              # restores the round-1..3 routing.
+    shuffle_payload: str = "raw"  # "packed": the exchange moves zstd-1-
+                              # compressed Arrow-IPC sub-batch blobs
+                              # instead of raw rows — map side packs each
+                              # (input batch × part_id) group into one
+                              # blob, reduce side reopens them zero-copy.
+                              # Cuts shuffle + reduce-IPC bytes ~3-6x on
+                              # source text; the deterministic sort moves
+                              # into the kernel, block bytes identical
+                              # (pinned by test).  The win at cluster
+                              # scale is the shuffle fabric carrying
+                              # compressed bytes; locally it trades
+                              # exchange memcpy for (parallel) codec CPU.
     read_mode: str = "mmap"   # clustered-path rowgroup reads: "mmap"
                               # (page-cache-backed, no copy into a fresh
                               # arena — best on local/NVMe), "pre_buffer"
@@ -142,60 +153,95 @@ def _pin_arrow(n: int) -> None:
         pa.set_io_thread_count(max(2, n))
 
 
+def _plan_core(cnt, target_rows: int, offset: int):
+    """Vectorized unit assignment over count-DESC-sorted repo counts.
+
+    Returns (base_part_id int64[n], fanout int64[n], next free id).
+    Hot repos (count > target) are salted across ``fanout`` units; small
+    repos are packed into shared units by prefix-sum chunking — a unit
+    exceeds target by at most one small repo (< 2×target).  Pure numpy
+    (C-level prefix sums): planning stays sub-second at 10^7+ repos.
+    """
+    import numpy as np
+    n_in = len(cnt)
+    hot_n = int(np.searchsorted(-cnt, -target_rows, side="left"))
+
+    # hot repos: one salted unit range each, fanout = ceil(count/target)
+    fanout_hot = -(-cnt[:hot_n] // target_rows)
+    hot_base = (offset + np.concatenate(
+        ([0], np.cumsum(fanout_hot)[:-1])).astype(np.int64)
+        if hot_n else np.zeros(0, np.int64))
+    next_id = offset + (int(fanout_hot.sum()) if hot_n else 0)
+
+    # small repos: shared units — unit = (rows before this repo) // target
+    small_cnt = cnt[hot_n:]
+    starts = np.cumsum(small_cnt) - small_cnt
+    unit = next_id + starts // target_rows
+
+    base = np.concatenate([hot_base, unit]).astype(np.int64)
+    fan = np.concatenate([fanout_hot,
+                          np.ones(n_in - hot_n, np.int64)]).astype(np.int64)
+    if n_in - hot_n:
+        next_id = int(unit[-1]) + 1
+    return base, fan, next_id
+
+
+def plan_partitions_arrow(repo, cnt, target_rows: int,
+                          offset: int = 0) -> tuple[pa.Table, int]:
+    """Deterministic work-unit plan, Arrow end-to-end: (repo, count)
+    columns in → plan pa.Table (repo, base_part_id, fanout) out, with
+    ZERO per-repo Python objects — at 10^7-10^8 repos the previous
+    ``collect()`` materialized multi-GB of Row objects on the driver
+    before numpy ever saw them.  The repo strings ride Arrow buffers
+    through the sort (``pc.take``) straight into ``createDataFrame``.
+
+    Sort order (must match the legacy list path exactly, since part ids
+    are positional): count desc, then repo asc with the (single
+    possible) NULL repo after all names — pyarrow ``null_placement=
+    'at_end'`` reproduces numpy's (name, null-flag) lexsort keys.
+    """
+    import numpy as np
+    repo = pa.chunked_array([repo]) if isinstance(repo, pa.Array) else repo
+    t = pa.table({"repo": repo.cast(pa.string()),
+                  "cnt": (cnt if isinstance(cnt, (pa.Array, pa.ChunkedArray))
+                          else pa.array(np.asarray(cnt, np.int64)))})
+    if t.num_rows == 0:
+        empty = pa.table({"repo": pa.array([], pa.string()),
+                          "base_part_id": pa.array([], pa.int64()),
+                          "fanout": pa.array([], pa.int32())})
+        return empty, offset
+    order = pc.sort_indices(
+        t, sort_keys=[("cnt", "descending"), ("repo", "ascending")],
+        null_placement="at_end")
+    t = t.take(order)
+    cnt_sorted = t.column("cnt").combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64, copy=False)
+    base, fan, next_id = _plan_core(cnt_sorted, target_rows, offset)
+    plan = pa.table({"repo": t.column("repo"),
+                     "base_part_id": pa.array(base),
+                     "fanout": pa.array(fan.astype(np.int32))})
+    return plan, next_id
+
+
 def plan_partitions(counts: list[tuple[str, int]], target_rows: int,
                     offset: int = 0) -> tuple[list[dict], int]:
     """Deterministic work-unit plan from (repo, row_count) pairs.
 
     Returns (plan rows [{repo, base_part_id, fanout}], next free id).
-    Hot repos (count > target) are salted across ``fanout`` units;
-    small repos are packed first-fit into shared units.  ``offset``
-    namespaces the ids (used by incremental/streaming appends).
+    Thin list-of-dicts wrapper over :func:`plan_partitions_arrow` (the
+    zero-Python-object path :func:`encode` uses) — both paths share the
+    same sort + ``_plan_core`` assignment, so plans are identical.
+    ``offset`` namespaces the ids (incremental/streaming appends).
     """
-    # Fully vectorized planning (C-level sort + prefix sums): the
-    # previous first-fit-decreasing scan was O(#small × #bins) driver
-    # Python — a stall at 10^7+ repos; even Python-lambda sorts cost
-    # seconds at 10^6.  NULL repo is a legal group (maps to the
-    # empty-string sort slot with a null flag so mixed None/str keys
-    # never TypeError on count ties).
-    import numpy as np
-    n_in = len(counts)
-    if n_in == 0:
-        return [], offset
-    cnt = np.fromiter((c for _, c in counts), dtype=np.int64, count=n_in)
-    nulls = np.fromiter((r is None for r, _ in counts), dtype=bool,
-                        count=n_in)
-    names = np.array([r or "" for r, _ in counts])
-    # sort: count desc, then non-null-before-check, then repo asc
-    order = np.lexsort((names, nulls, -cnt))
-    cnt, nulls, names = cnt[order], nulls[order], names[order]
-    hot_n = int(np.searchsorted(-cnt, -target_rows, side="left"))
-
-    # hot repos: one salted unit range each, fanout = ceil(count/target)
-    fanout = -(-cnt[:hot_n] // target_rows)
-    hot_base = offset + np.concatenate(
-        ([0], np.cumsum(fanout)[:-1])).astype(np.int64)
-    next_id = offset + (int(fanout.sum()) if hot_n else 0)
-
-    # small repos: shared units by prefix-sum chunking over the
-    # size-descending order — unit = (rows before this repo) // target.
-    # Row balance is exactly ceil(total/target) units of ~target rows
-    # (a unit exceeds target by at most one small repo, < 2×target).
-    small_cnt = cnt[hot_n:]
-    starts = np.cumsum(small_cnt) - small_cnt
-    unit = next_id + starts // target_rows
-
-    # .tolist() first: per-element numpy scalar extraction inside the
-    # comprehensions costs ~10x more than one bulk conversion
-    nl, nm = nulls.tolist(), names.tolist()
-    repos = [None if nl[i] else nm[i] for i in range(n_in)]
-    hb, fo, un = hot_base.tolist(), fanout.tolist(), unit.tolist()
-    plan = [{"repo": repos[i], "base_part_id": hb[i], "fanout": fo[i]}
-            for i in range(hot_n)]
-    plan += [{"repo": repos[hot_n + j], "base_part_id": un[j], "fanout": 1}
-             for j in range(n_in - hot_n)]
-    if n_in - hot_n:
-        next_id = int(unit[-1]) + 1
-    return plan, next_id
+    repo = pa.array([r for r, _ in counts], type=pa.string())
+    cnt = pa.array([c for _, c in counts], type=pa.int64())
+    plan, next_id = plan_partitions_arrow(repo, cnt, target_rows, offset)
+    # columnar-to-pylist (3 bulk C conversions), not Table.to_pylist
+    # (per-row dict building is ~3x slower at 10^6 rows)
+    d = plan.to_pydict()
+    rows = [{"repo": r, "base_part_id": b, "fanout": f}
+            for r, b, f in zip(d["repo"], d["base_part_id"], d["fanout"])]
+    return rows, next_id
 
 
 def anti_join_committed(spark: SparkSession, with_part: DataFrame,
@@ -361,14 +407,16 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     tbl.init_layout(output)
     schema_columns = df.columns
 
-    # 1. partition plan from the tiny repo-count aggregate
-    counts = [(r["repo"], r["cnt"]) for r in
-              df.groupBy("repo").agg(F.count("*").alias("cnt")).collect()]
-    plan, n_parts = plan_partitions(counts, opts.target_rows,
-                                    offset=opts.part_id_offset)
-    plan_df = spark.createDataFrame(
-        [(p["repo"], p["base_part_id"], p["fanout"]) for p in plan],
-        "repo string, base_part_id long, fanout int")
+    # 1. partition plan from the tiny repo-count aggregate — collected
+    # as ARROW (toArrow), not Rows: at 10^7-10^8 repos a Row collect is
+    # multi-GB of Python objects; the Arrow table feeds the numpy
+    # planner and goes straight back via createDataFrame(pa.Table),
+    # zero per-repo Python objects end-to-end
+    agg = df.groupBy("repo").agg(F.count("*").alias("cnt")).toArrow()
+    plan_tbl, n_parts = plan_partitions_arrow(
+        agg.column("repo"), agg.column("cnt"), opts.target_rows,
+        offset=opts.part_id_offset)
+    plan_df = spark.createDataFrame(plan_tbl)
 
     # 2. checkpoint: skip committed partitions (exact resume)
     committed = set(tbl.committed_parts(output)) if opts.resume else set()
@@ -396,7 +444,12 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     out_cols = schema_columns
     opts_b = opts
 
-    presort = (opts.presort_in_shuffle
+    packed = opts.shuffle_payload == "packed"
+    # packed mode ships zstd-compressed sub-batch blobs through the
+    # exchange — rows are opaque there, so the deterministic sort moves
+    # into the kernel (already_sorted=False); block bytes stay identical
+    # because pc.sort_indices applies the exact same key order
+    presort = (not packed and opts.presort_in_shuffle
                and all(c in with_part.columns for c in opts.sort_columns))
 
     _sum_schema = pa.schema([
@@ -413,6 +466,23 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         summary = encode_partition(pid, t, output, opts_b, list(out_cols),
                                    already_sorted=presort)
         return pa.Table.from_pylist([summary], schema=_sum_schema)
+
+    def _materialize(parts: list) -> pa.Table:
+        """One work unit's collected shuffle slices → its row table.
+
+        raw mode: the slices ARE the rows.  packed mode: each slice row
+        is a zstd-compressed Arrow-IPC blob of a map-side sub-batch;
+        open each blob zero-copy (``as_buffer``) and concatenate."""
+        if not packed:
+            return pa.Table.from_batches(parts).drop_columns(["part_id"])
+        tables = []
+        for rb in parts:
+            blob_col = rb.column("blob")
+            for i in range(len(blob_col)):
+                tables.append(pa.ipc.open_stream(
+                    blob_col[i].as_buffer()).read_all())
+        return (pa.concat_tables(tables).combine_chunks()
+                .drop_columns(["part_id"]))
 
     def _encode_stream(batches):
         """mapInArrow kernel: consume the shuffle partition's (part_id-
@@ -432,17 +502,36 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
 
         DONE, ERR = object(), object()
         q: queue.Queue = queue.Queue(maxsize=8)
+        # stop flag: if the consumer below raises mid-stream (e.g. a
+        # kernel error in encode_partition), the reader must NOT keep
+        # draining the socket-backed batch iterator — a reused Python
+        # worker's next task would race the stale reads.  The reader
+        # checks the flag around every (bounded-timeout) put; the
+        # consumer sets it and JOINS the reader in a finally block
+        # before propagating.
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def _reader():
             try:
                 for b in batches:
-                    q.put(b)
-                q.put(DONE)
+                    if not _put(b):
+                        return
+                _put(DONE)
             except BaseException as e:   # propagate into the main thread
-                q.put(ERR)
-                q.put(e)
+                if _put(ERR):
+                    _put(e)
 
-        threading.Thread(target=_reader, daemon=True).start()
+        reader = threading.Thread(target=_reader, daemon=True)
+        reader.start()
 
         cur_pid: int | None = None
         parts: list[pa.RecordBatch] = []
@@ -451,7 +540,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
             nonlocal cur_pid, parts
             if cur_pid is None:
                 return None
-            t = pa.Table.from_batches(parts).drop_columns(["part_id"])
+            t = _materialize(parts)
             parts = []
             summary = encode_partition(cur_pid, t, output, opts_b,
                                        list(out_cols),
@@ -460,29 +549,38 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
             return pa.RecordBatch.from_pylist([summary],
                                               schema=_sum_schema)
 
-        while True:
-            b = q.get()
-            if b is DONE:
-                break
-            if b is ERR:
-                raise q.get()
-            pids = b.column("part_id").to_numpy(zero_copy_only=False)
-            cuts = (np.flatnonzero(pids[1:] != pids[:-1]) + 1).tolist()
-            bounds = [0, *cuts, len(pids)]
-            for i in range(len(bounds) - 1):
-                lo, hi = bounds[i], bounds[i + 1]
-                if hi == lo:
-                    continue
-                pid = int(pids[lo])
-                if cur_pid is not None and pid != cur_pid:
-                    out = _flush()
-                    if out is not None:
-                        yield out
-                cur_pid = pid
-                parts.append(b.slice(lo, hi - lo))
-        out = _flush()
-        if out is not None:
-            yield out
+        try:
+            while True:
+                b = q.get()
+                if b is DONE:
+                    break
+                if b is ERR:
+                    raise q.get()
+                pids = b.column("part_id").to_numpy(zero_copy_only=False)
+                cuts = (np.flatnonzero(pids[1:] != pids[:-1]) + 1).tolist()
+                bounds = [0, *cuts, len(pids)]
+                for i in range(len(bounds) - 1):
+                    lo, hi = bounds[i], bounds[i + 1]
+                    if hi == lo:
+                        continue
+                    pid = int(pids[lo])
+                    if cur_pid is not None and pid != cur_pid:
+                        out = _flush()
+                        if out is not None:
+                            yield out
+                    cur_pid = pid
+                    parts.append(b.slice(lo, hi - lo))
+            out = _flush()
+            if out is not None:
+                yield out
+        finally:
+            stop.set()
+            try:                      # unblock a put stuck on a full queue
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            reader.join(timeout=10.0)
 
     # Explicit shuffle width: work units hashed into only ~#cores buckets
     # make the largest bucket the wall clock (and AQE would coalesce
@@ -495,7 +593,53 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     n_shuffle = max(1, min(n_parts - opts.part_id_offset,
                            spark.sparkContext.defaultParallelism
                            * opts.shuffle_oversub))
-    shuffled = with_part.repartition(n_shuffle, "part_id")
+
+    def _pack_stream(batches):
+        """Map-side packer (shuffle_payload="packed"): group each input
+        Arrow batch's rows by part_id and emit ONE row per (batch,
+        part_id) group — a zstd-1-compressed Arrow-IPC blob holding the
+        group's rows.  The exchange then moves ~3-6x fewer bytes for
+        source text (batch-level compression, the best case) and the
+        reduce-side JVM→Python IPC moves the same compressed blobs —
+        at cluster scale this is the difference between the shuffle
+        fabric carrying the corpus raw vs compressed.  Vectorized:
+        one argsort + one IPC write per group, no per-row Python."""
+        import numpy as np
+
+        import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+        _pin_arrow(opts_b.arrow_cpu)
+        ipc_opts = pa.ipc.IpcWriteOptions(compression=pa.Codec("zstd", 1))
+        for b in batches:
+            pids = b.column("part_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(pids, kind="stable")
+            bs = b.take(pa.array(order))
+            ps = pids[order]
+            cuts = (np.flatnonzero(ps[1:] != ps[:-1]) + 1).tolist()
+            bounds = [0, *cuts, len(ps)]
+            out_pids: list[int] = []
+            out_blobs: list = []
+            for i in range(len(bounds) - 1):
+                lo, hi = bounds[i], bounds[i + 1]
+                if hi == lo:
+                    continue
+                sl = bs.slice(lo, hi - lo)
+                sink = pa.BufferOutputStream()
+                with pa.ipc.new_stream(sink, sl.schema,
+                                       options=ipc_opts) as w:
+                    w.write_batch(sl)
+                out_pids.append(int(ps[lo]))
+                # to_pybytes: pa.array rejects Buffer objects; the copy
+                # is of COMPRESSED bytes only
+                out_blobs.append(sink.getvalue().to_pybytes())
+            if out_pids:
+                yield pa.record_batch(
+                    {"part_id": pa.array(out_pids, pa.int64()),
+                     "blob": pa.array(out_blobs, pa.binary())})
+
+    pre_shuffle = (with_part.mapInArrow(_pack_stream,
+                                        schema="part_id long, blob binary")
+                   if packed else with_part)
+    shuffled = pre_shuffle.repartition(n_shuffle, "part_id")
     if presort:
         # asc_nulls_last matches pyarrow pc.sort_indices' default null
         # placement, so block bytes and content_sha256 are identical
@@ -504,12 +648,12 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         shuffled = shuffled.sortWithinPartitions(
             F.col("part_id"),
             *[F.col(c).asc_nulls_last() for c in opts.sort_columns])
-    elif opts.arrow_stream:
+    elif opts.arrow_stream or packed:
         # the streaming kernel cuts the batch stream at part_id
         # boundaries, so units must at least be contiguous (the rows
         # themselves are then sorted inside encode_partition)
         shuffled = shuffled.sortWithinPartitions(F.col("part_id"))
-    if opts.arrow_stream:
+    if opts.arrow_stream or packed:   # packed always streams
         summaries = (shuffled
                      .mapInArrow(_encode_stream, schema=SUMMARY_SCHEMA)
                      .collect())

@@ -122,14 +122,19 @@ def lsh_candidates(sigs: DataFrame, key_col: str = "doc_id",
     buckets = band_rows[0]
     for extra in band_rows[1:]:
         buckets = buckets.unionByName(extra)
-    # Pre-drop over-cap (band, bucket) keys with a COUNT aggregate +
-    # broadcast anti-join BEFORE collect_set: counting is map-side
-    # combinable and O(1) memory per key, so a boilerplate mega-bucket
-    # never materializes as one giant array in a single aggregation
-    # buffer (a post-hoc size filter would bound only the pair
-    # explosion, not executor memory).
+    # Pre-drop over-cap (band, bucket) keys with a DISTINCT-count
+    # aggregate + broadcast anti-join BEFORE collect_set, so a
+    # boilerplate mega-bucket never materializes as one giant array in
+    # a single aggregation buffer (a post-hoc size filter would bound
+    # only the pair explosion, not executor memory).  countDistinct —
+    # not count(*) — because the guard's semantics are "more than
+    # max_bucket distinct docs in the bucket": a caller passing sigs
+    # with duplicate rows per doc must not get buckets dropped early.
+    # Spark plans it as two hash aggregations (partial dedup on
+    # (band, bucket, key), then count) — still map-side combinable and
+    # bounded memory per key.
     hot = (buckets.groupBy("band", "bucket")
-           .agg(F.count("*").alias("_n"))
+           .agg(F.countDistinct(key_col).alias("_n"))
            .filter(F.col("_n") > max_bucket)
            .select("band", "bucket"))
     buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")

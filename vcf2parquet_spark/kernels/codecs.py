@@ -276,9 +276,17 @@ def zlib_unwrap(payload: bytes) -> bytes:
 # algorithms carry an 8-byte LE uncompressed-length prefix because
 # ``pa.Codec.decompress`` needs the output size up front.  Levels are
 # pinned for deterministic bytes.
-CASCADES = ("zlib", "zstd", "lz4", "brotli", "gzip", "brotli9", "zstd15")
+#
+# Reference-enum parity: every member except lzo is available (snappy —
+# the reference's DEFAULT file codec, cli.rs:134 — rides pa.Codec).
+# lzo is omitted deliberately: neither pyarrow nor arrow-rs's parquet
+# writer implements LZO (the reference would error on it at write time
+# too), and the blocks *container* already offers the same breadth via
+# parquet's own codec set.  "uncompressed" = just omit the residual.
+CASCADES = ("zlib", "zstd", "lz4", "brotli", "gzip", "snappy",
+            "brotli9", "zstd15")
 _PA_LEVELS = {"zstd": 9, "brotli": 5, "gzip": 6, "lz4": None,
-              "brotli9": 9, "zstd15": 15}
+              "snappy": None, "brotli9": 9, "zstd15": 15}
 # level-pinned aliases (brotli9, zstd15) exist so a SELECTOR rule can
 # demand a specific strength deterministically — levels are part of the
 # codec name, so block bytes stay reproducible across workers/sessions

@@ -195,6 +195,12 @@ def profile_df(df, columns: list[str] | None = None):
     table #columns times (at 100 TB, a 7-column profile was 7 passes)."""
     from pyspark.sql import functions as F
 
+    # generated aliases embed the source column name; resolve them with
+    # backtick-quoted references so a name containing '.' (or '`') is
+    # one identifier, not a struct-field access path
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     types = {f.name: f.dataType.typeName() for f in df.schema.fields}
     cols = columns or [f.name for f in df.schema.fields
                        if types[f.name] in
@@ -203,30 +209,31 @@ def profile_df(df, columns: list[str] | None = None):
     aggs, structs = [], []
     for c in cols:
         typ = types[c]
+        src = F.col(_q(c))
         if typ == "boolean":
-            avg_e, max_e = F.avg(F.col(c).cast("int")), F.max(F.col(c).cast("int"))
+            avg_e, max_e = F.avg(src.cast("int")), F.max(src.cast("int"))
             raw_e = F.lit(None).cast("long")
         elif typ == "string":
-            avg_e, max_e = F.avg(F.length(c)), F.max(F.length(c))
-            raw_e = F.sum(F.octet_length(c)).cast("long")
+            avg_e, max_e = F.avg(F.length(src)), F.max(F.length(src))
+            raw_e = F.sum(F.octet_length(src)).cast("long")
         else:
-            avg_e, max_e = F.avg(F.col(c)), F.max(F.col(c))
+            avg_e, max_e = F.avg(src), F.max(src)
             raw_e = F.lit(None).cast("long")
-        aggs += [F.count(F.col(c)).alias(f"{c}__n"),
-                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+        aggs += [F.count(src).alias(f"{c}__n"),
+                 F.sum(F.when(src.isNull(), 1).otherwise(0))
                   .cast("long").alias(f"{c}__nn"),
-                 F.approx_count_distinct(c).alias(f"{c}__ad"),
+                 F.approx_count_distinct(src).alias(f"{c}__ad"),
                  avg_e.cast("double").alias(f"{c}__avg"),
                  max_e.cast("double").alias(f"{c}__max"),
                  raw_e.alias(f"{c}__raw")]
         structs.append(F.struct(
             F.lit(c).alias("column"),
-            F.col(f"{c}__n").alias("n"),
-            F.col(f"{c}__nn").alias("n_nulls"),
-            F.col(f"{c}__ad").alias("approx_distinct"),
-            F.col(f"{c}__avg").alias("avg_len"),
-            F.col(f"{c}__max").alias("max_len"),
-            F.col(f"{c}__raw").alias("raw_bytes")))
+            F.col(_q(f"{c}__n")).alias("n"),
+            F.col(_q(f"{c}__nn")).alias("n_nulls"),
+            F.col(_q(f"{c}__ad")).alias("approx_distinct"),
+            F.col(_q(f"{c}__avg")).alias("avg_len"),
+            F.col(_q(f"{c}__max")).alias("max_len"),
+            F.col(_q(f"{c}__raw")).alias("raw_bytes")))
     return (df.agg(*aggs)
             .select(F.explode(F.array(*structs)).alias("p"))
             .select("p.*"))

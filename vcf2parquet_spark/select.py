@@ -17,8 +17,13 @@ string:
   entropy >= HIGH_ENTROPY bits/byte  → plain+<residual> (incompressible
                                        by symbol tables; residual stage —
                                        documented fallback, SURVEY §7)
-  else                               → fsst+<residual> (path / content:
-                                       FSST symbol table + residual)
+  avg_len >= LONG_STRING             → plain+brotli-9 (content: block-
+                                       level residual beats FSST on both
+                                       axes for long values — default
+                                       since round 4; long_strings=
+                                       "fsst" restores FSST routing)
+  else                               → fsst+<residual> (path: FSST
+                                       symbol table + residual)
 
 float (codecs run on the exact IEEE bit pattern):
   all-equal / long runs  → rle
@@ -58,21 +63,23 @@ HIGH_ENTROPY = 7.3   # bits/byte; above -> symbol tables won't help
 # 3x the compress speed) flip the default per job.
 DEFAULT_RESIDUAL = "zlib"
 
-# long_strings="plain" routing: for columns whose mean value length is
-# above LONG_STRING bytes, a windowed block-level residual subsumes
-# almost all of FSST's gain — measured on the bench corpus content
-# column (mean 915 B): fsst+zlib ratio 12.64 at 8.7 MB/s/core vs
-# plain+brotli-9 ratio 15.33 at 28.3 MB/s/core — better on BOTH axes.
-# FSST remains the champion for short-string columns (path: per-value
-# symbol tables + random access) and stays the default selector
-# ("fsst") so existing evidence/pins hold; flip per job via
-# EncodeOptions(long_strings="plain") / CLI --long-strings plain.
+# long_strings="plain" routing (the DEFAULT since round 4): for columns
+# whose mean value length is above LONG_STRING bytes, a windowed
+# block-level residual subsumes almost all of FSST's gain — measured on
+# the bench corpus content column (mean 915 B): fsst+zlib ratio 12.64
+# at 8.7 MB/s/core vs plain+brotli-9 ratio 15.33 at 28.3 MB/s/core —
+# better on BOTH axes, so it is the default selector (the analogue of
+# the reference simply riding its best default codec, snappy —
+# /root/reference/src/cli.rs:134).  FSST remains the champion for
+# short-string columns (path: per-value symbol tables + random access)
+# and keeps them under either setting; long_strings="fsst" restores the
+# round-1..3 behavior per job via EncodeOptions / CLI --long-strings.
 LONG_STRING = 256        # mean bytes/value
 LONG_RESIDUAL = "brotli9"  # level pinned in the name (deterministic bytes)
 
 
 def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL,
-                 long_strings: str = "fsst") -> str:
+                 long_strings: str = "plain") -> str:
     """Pick a codec spec for one column from its profile stats."""
     if stats["type"].startswith("list<"):
         # offsets framing is fixed (delta+FOR); the choice recurses on
@@ -133,7 +140,7 @@ def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL,
 def choose_codecs(profiles: dict[str, dict],
                   overrides: dict[str, str] | None = None,
                   residual: str = DEFAULT_RESIDUAL,
-                  long_strings: str = "fsst") -> dict[str, str]:
+                  long_strings: str = "plain") -> dict[str, str]:
     out = {}
     for col, stats in profiles.items():
         if overrides and col in overrides:
