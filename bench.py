@@ -44,7 +44,12 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "1600000"))
+# 3.2M rows since round 4: the selector flip (plain+brotli-9 for long
+# strings) made the encode kernels ~3x faster, so the r3 sizing (1.6M)
+# would leave per-job fixed overhead a visibly larger fraction of the
+# wall — the input grows to keep per-core in-kernel seconds comparable
+# (at 100 TB each executor's share is larger still)
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "3200000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "7"))
 WORK_DIR = os.environ.get("SPARK_GRAFT_WORK", "/tmp/vp_bench")
@@ -95,7 +100,8 @@ def materialize_rg_corpus(spark, n_rows: int) -> str:
     return path
 
 
-def bench_encode(spark, corpus_path: str, out: str, target_rows: int = 2500):
+def bench_encode(spark, corpus_path: str, out: str, target_rows: int = 2500,
+                 **enc_kwargs):
     # 2500 rows/unit → ~87 work units at 200k rows: ~2.7 units per core
     # smooths the tail waves (measured sweep at local[32]: 2500→2.55s,
     # 2000→2.66s, 4000→3.94s, 7000/32-units→4.22s — coarse units leave
@@ -107,9 +113,17 @@ def bench_encode(spark, corpus_path: str, out: str, target_rows: int = 2500):
     if os.path.exists(out):
         shutil.rmtree(out)
     t0 = time.time()
-    job = encode(spark, df, out, target_rows=target_rows)
+    job = encode(spark, df, out, target_rows=target_rows, **enc_kwargs)
     dt = time.time() - t0
     return dt, job
+
+
+def bench_encode_raw(spark, corpus_path: str, out: str,
+                     target_rows: int = 2500):
+    """General path with shuffle_payload="raw" (legacy raw-row
+    exchange; the default is packed zstd-1 Arrow-IPC blobs)."""
+    return bench_encode(spark, corpus_path, out, target_rows,
+                        shuffle_payload="raw")
 
 
 def dir_bytes(pattern: str) -> int:
@@ -308,8 +322,11 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
       directly by each executor's Python worker.  No shuffle; content
       bytes never transit the JVM.
     * ``shuffle`` (supplementary — the general path for arbitrary row
-      layouts): one explicit repartition by salted work unit, content
-      bytes cross the JVM↔Python Arrow IPC boundary once.
+      layouts): one explicit repartition by salted work unit.  Since
+      round 4 the exchange payload defaults to PACKED zstd-1 Arrow-IPC
+      sub-batch blobs, so the row-serialize/shuffle/reduce-IPC path
+      carries compressed bytes (~9x fewer than raw rows on source
+      text); ``shuffle_raw`` measures the legacy raw-row exchange.
 
     Methodology: N = SCALE_N (default 2) so both levels sit inside the
     host's linear region (see ``host_probe``) — the criterion is about
@@ -547,15 +564,16 @@ def _write_baseline_md(s: dict) -> None:
             f"({sh['thr_n_gbps']} → {sh['thr_4n_gbps']} GB/s), compute "
             f"eff {sh.get('compute_efficiency')}, best pair "
             f"{sh.get('best_efficiency')}, {sh.get('n_pairs_ge_08')}/"
-            f"{len(sh['all_pairs'])} pairs ≥ 0.8.  This path moves every "
-            "content byte through the JVM↔Python Arrow IPC boundary and "
-            "one shuffle — a memory-bandwidth-bound byte path that on "
-            "THIS single host rides the memcpy ceiling (probe below: "
-            "copy eff ~0.6 at 2→8 procs), which is why its wall number "
-            "trails the clustered path's.  On a real N→4N cluster the "
-            "shuffle fabric and memory buses scale with the node count, "
-            "so the gap between the two paths closes toward the compute "
-            "number.",
+            f"{len(sh['all_pairs'])} pairs ≥ 0.8.  Since round 4 this "
+            "path ships PACKED zstd-1 Arrow-IPC sub-batch blobs through "
+            "the exchange (shuffle_payload default): the row-serialize/"
+            "shuffle/reduce-IPC path — the memory-bandwidth-bound "
+            "segment that rode this host's memcpy ceiling at ~0.75 wall "
+            "eff in round 3 — now carries ~9x fewer bytes for source "
+            "text (see scripts/shuffle_bytes_probe.py for the measured "
+            "byte budget).  On a real N→4N cluster the shuffle fabric "
+            "carries the same compressed bytes, so the win compounds "
+            "with node count.",
             "",
             *_pairs_table(sh, sh["all_pairs"]),
             "",

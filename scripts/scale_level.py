@@ -28,7 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
-    ap.add_argument("--mode", choices=["clustered", "shuffle"],
+    ap.add_argument("--mode",
+                    choices=["clustered", "shuffle", "shuffle_raw"],
                     required=True)
     ap.add_argument("--rows", type=int, required=True)
     ap.add_argument("--target-rows", type=int, default=3000)
@@ -39,8 +40,9 @@ def main() -> int:
     import bench
     from vcf2parquet_spark.session import get_spark
 
-    runner = (bench.bench_encode_clustered if args.mode == "clustered"
-              else bench.bench_encode)
+    runner = {"clustered": bench.bench_encode_clustered,
+              "shuffle": bench.bench_encode,          # packed (default)
+              "shuffle_raw": bench.bench_encode_raw}[args.mode]
     corpus = (f"{bench.WORK_DIR}/corpus_rg_{args.rows}.parquet"
               if args.mode == "clustered"
               else f"{bench.WORK_DIR}/corpus_{args.rows}.parquet")

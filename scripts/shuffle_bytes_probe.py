@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Byte-budget evidence for shuffle_payload="packed": run the SAME
+general-path encode twice (raw rows vs packed zstd-1 Arrow-IPC blobs)
+and read the ACTUAL shuffle write volume from Spark's own task metrics
+(REST API) — not an estimate.  Prints one JSON line:
+
+    {"rows": N, "raw_content_bytes": B,
+     "shuffle_bytes_raw": X, "shuffle_bytes_packed": Y,
+     "packed_over_raw": Y/X, "wall_raw": s, "wall_packed": s}
+
+Usage: python scripts/shuffle_bytes_probe.py [--rows 200000] [--cores 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _rest(spark, path: str):
+    ui = spark.sparkContext.uiWebUrl
+    with urllib.request.urlopen(f"{ui}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def total_shuffle_write(spark) -> int:
+    app = spark.sparkContext.applicationId
+    stages = _rest(spark, f"applications/{app}/stages?status=complete")
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--target-rows", type=int, default=2500)
+    args = ap.parse_args()
+
+    import bench
+    from vcf2parquet_spark.session import get_spark
+
+    conf = bench.bench_conf()
+    conf["spark.ui.enabled"] = "true"   # metrics source for this probe
+    spark = get_spark(cores=args.cores, app_name="vp_shuffle_probe",
+                      extra_conf=conf)
+    corpus = bench.materialize_corpus(spark, args.rows)
+
+    out = {}
+    marks = [total_shuffle_write(spark)]
+    walls = {}
+    jobs = {}
+    for mode, kw in (("raw", {}), ("packed", {"shuffle_payload": "packed"})):
+        dst = f"{bench.WORK_DIR}/probe_{mode}"
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        t0 = time.time()
+        _, job = bench.bench_encode(spark, corpus, dst,
+                                    target_rows=args.target_rows, **kw)
+        walls[mode] = round(time.time() - t0, 3)
+        jobs[mode] = job
+        marks.append(total_shuffle_write(spark))
+    spark.stop()
+
+    sh_raw = marks[1] - marks[0]
+    sh_packed = marks[2] - marks[1]
+    print(json.dumps({
+        "rows": args.rows,
+        "cores": args.cores,
+        "raw_content_bytes": jobs["raw"]["raw_bytes"],
+        "shuffle_bytes_raw": sh_raw,
+        "shuffle_bytes_packed": sh_packed,
+        "packed_over_raw": round(sh_packed / sh_raw, 4) if sh_raw else None,
+        "wall_raw": walls["raw"],
+        "wall_packed": walls["packed"],
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

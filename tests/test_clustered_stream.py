@@ -46,8 +46,12 @@ def test_stream_matches_grouped_path_bytes(spark, tmp_path):
     outs = {}
     for name, stream in (("stream", True), ("grouped", False)):
         out = str(tmp_path / name)
+        # shuffle_payload="raw": this test pins the raw-row stream vs
+        # grouped (applyInArrow) equivalence; the packed default would
+        # force both legs through the stream kernel
         job = encode(spark, df, out,
-                     EncodeOptions(target_rows=1_500, arrow_stream=stream))
+                     EncodeOptions(target_rows=1_500, arrow_stream=stream,
+                                   shuffle_payload="raw"))
         assert job["n_rows"] == N_ROWS
         outs[name] = _block_digests(out)
     assert outs["stream"] == outs["grouped"]

@@ -159,7 +159,8 @@ def test_packed_shuffle_byte_identical_and_verified(spark, corpus,
     exercises NULLs in every column through the IPC pack/unpack."""
     out_raw = str(tmp_path / "praw")
     out_pk = str(tmp_path / "ppk")
-    encode(spark, corpus, out_raw, batch_size=2_000, target_rows=2_000)
+    encode(spark, corpus, out_raw, batch_size=2_000, target_rows=2_000,
+           shuffle_payload="raw")
     encode(spark, corpus, out_pk, batch_size=2_000, target_rows=2_000,
            shuffle_payload="packed")
     assert _blocks_digests(out_raw) == _blocks_digests(out_pk)

@@ -87,12 +87,13 @@ def main(argv: list[str] | None = None) -> int:
                             "fsst+residual; FSST keeps short columns "
                             "either way")
         p.add_argument("--shuffle-payload", choices=["raw", "packed"],
-                       default="raw",
-                       help="general-path exchange payload: raw rows or "
-                            "zstd-1-compressed Arrow-IPC sub-batch blobs "
-                            "(packed: ~3-6x fewer bytes through the "
-                            "shuffle fabric + reduce-side IPC on source "
-                            "text; block bytes identical)")
+                       default="packed",
+                       help="general-path exchange payload: zstd-1-"
+                            "compressed Arrow-IPC sub-batch blobs "
+                            "(default; ~9x fewer bytes through the row-"
+                            "serialize/exchange/reduce-IPC path on "
+                            "source text, block bytes identical) or raw "
+                            "rows")
         p.add_argument("--read-mode", choices=["mmap", "pre_buffer", "plain"],
                        default="mmap",
                        help="clustered-path rowgroup read strategy: mmap "

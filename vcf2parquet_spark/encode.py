@@ -126,18 +126,21 @@ class EncodeOptions:
                               # MB/s/core vs 12.64 @ 8.7); FSST keeps the
                               # short-string columns either way.  "fsst"
                               # restores the round-1..3 routing.
-    shuffle_payload: str = "raw"  # "packed": the exchange moves zstd-1-
+    shuffle_payload: str = "packed"  # DEFAULT: the exchange moves zstd-1-
                               # compressed Arrow-IPC sub-batch blobs
                               # instead of raw rows — map side packs each
                               # (input batch × part_id) group into one
                               # blob, reduce side reopens them zero-copy.
-                              # Cuts shuffle + reduce-IPC bytes ~3-6x on
-                              # source text; the deterministic sort moves
-                              # into the kernel, block bytes identical
-                              # (pinned by test).  The win at cluster
-                              # scale is the shuffle fabric carrying
-                              # compressed bytes; locally it trades
-                              # exchange memcpy for (parallel) codec CPU.
+                              # The row-serialize/exchange/JVM-sort/
+                              # reduce-IPC path then carries ~9x fewer
+                              # bytes for source text; measured 2.8x
+                              # faster at 8 cores and 1.22x at 32
+                              # (min-of-3, alternating) with block bytes
+                              # identical (pinned by test) — and at
+                              # cluster scale the shuffle fabric carries
+                              # compressed bytes.  "raw" restores the
+                              # row exchange (and re-enables
+                              # presort_in_shuffle / applyInArrow).
     read_mode: str = "mmap"   # clustered-path rowgroup reads: "mmap"
                               # (page-cache-backed, no copy into a fresh
                               # arena — best on local/NVMe), "pre_buffer"
