@@ -563,6 +563,11 @@ def test_sql_per_query_column_pruning(spark, encoded):
             decode(spark, out).groupBy("lang")
             .agg(F.count("*").alias("n")).collect()}
     assert {r["lang"]: r["n"] for r in got.collect()} == want
+    # derived columns are prunable too with include_derived
+    d = sql(spark, out, "SELECT size_bytes FROM c", view="c",
+            include_derived=True)
+    assert spark.table("c").columns == ["size_bytes"]
+    assert d.count() == decode(spark, out).count()
 
 
 def test_determinism_mixed_types_across_parallelism(spark, tmp_path):

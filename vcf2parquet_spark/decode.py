@@ -285,8 +285,14 @@ def sql(spark: SparkSession, output: str, query: str,
     then materializes only those columns' rows (same IO shape as
     ``decode(columns=...)``).  kwargs forward to :func:`decode`
     (snapshot_id=, filters=, include_derived=, ...)."""
-    meta = tbl.read_table_meta(output)
-    all_cols = decode_kwargs.pop("columns", None) or meta["schema_columns"]
+    all_cols = decode_kwargs.pop("columns", None)
+    if all_cols is None:
+        if decode_kwargs.get("include_derived"):
+            committed = tbl.committed_parts(output)
+            first = next(iter(committed.values()))
+            all_cols = first["all_columns"]
+        else:
+            all_cols = tbl.read_table_meta(output)["schema_columns"]
     need = referenced_columns(query, all_cols)
     register_view(spark, output, view, columns=need, **decode_kwargs)
     return spark.sql(query)

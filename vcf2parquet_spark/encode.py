@@ -71,10 +71,11 @@ class EncodeOptions:
     target_rows: int = DEFAULT_TARGET_ROWS
     codec_overrides: dict = field(default_factory=dict)
     residual: str = "zlib"    # general-purpose residual stage behind the
-                              # auto-selected base codec: one of
-                              # zlib/zstd/lz4/brotli/gzip — the breadth
+                              # auto-selected base codec: one of zlib/
+                              # zstd/lz4/brotli/gzip/snappy — the breadth
                               # analogue of the reference's file-level
-                              # codec enum (cli.rs:119-136)
+                              # codec enum (cli.rs:119-136; lzo excluded,
+                              # see kernels/codecs.py CASCADES note)
     nullable: bool = True     # False = strict schema: any NULL in any
                               # input column raises SchemaError instead
                               # of encoding a validity bitmap (the
