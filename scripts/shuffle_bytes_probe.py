@@ -55,7 +55,11 @@ def main() -> int:
     marks = [total_shuffle_write(spark)]
     walls = {}
     jobs = {}
-    for mode, kw in (("raw", {}), ("packed", {"shuffle_payload": "packed"})):
+    # pass both payloads explicitly: the engine default is "packed"
+    # since round 4, so an empty kwargs leg would silently measure
+    # packed twice
+    for mode, kw in (("raw", {"shuffle_payload": "raw"}),
+                     ("packed", {"shuffle_payload": "packed"})):
         dst = f"{bench.WORK_DIR}/probe_{mode}"
         if os.path.exists(dst):
             shutil.rmtree(dst)

@@ -289,8 +289,11 @@ def sql(spark: SparkSession, output: str, query: str,
     if all_cols is None:
         if decode_kwargs.get("include_derived"):
             committed = tbl.committed_parts(output)
-            first = next(iter(committed.values()))
-            all_cols = first["all_columns"]
+            if committed:
+                first = next(iter(committed.values()))
+                all_cols = first["all_columns"]
+            else:  # empty table: fall back to the base schema
+                all_cols = tbl.read_table_meta(output)["schema_columns"]
         else:
             all_cols = tbl.read_table_meta(output)["schema_columns"]
     need = referenced_columns(query, all_cols)
