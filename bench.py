@@ -324,9 +324,10 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
     * ``shuffle`` (supplementary — the general path for arbitrary row
       layouts): one explicit repartition by salted work unit.  Since
       round 4 the exchange payload defaults to PACKED zstd-1 Arrow-IPC
-      sub-batch blobs, so the row-serialize/shuffle/reduce-IPC path
-      carries compressed bytes (~9x fewer than raw rows on source
-      text); ``shuffle_raw`` measures the legacy raw-row exchange.
+      sub-batch blobs, so the row-serialize/sort/reduce-IPC path
+      carries compressed bytes (~8.7x less uncompressed volume than
+      raw rows on source text — BENCH/SHUFFLE_BYTES.json);
+      ``shuffle_raw`` measures the legacy raw-row exchange.
 
     Methodology: N = SCALE_N (default 2) so both levels sit inside the
     host's linear region (see ``host_probe``) — the criterion is about
@@ -567,13 +568,18 @@ def _write_baseline_md(s: dict) -> None:
             f"{len(sh['all_pairs'])} pairs ≥ 0.8.  Since round 4 this "
             "path ships PACKED zstd-1 Arrow-IPC sub-batch blobs through "
             "the exchange (shuffle_payload default): the row-serialize/"
-            "shuffle/reduce-IPC path — the memory-bandwidth-bound "
+            "sort/reduce-IPC path — the memory-bandwidth-bound "
             "segment that rode this host's memcpy ceiling at ~0.75 wall "
-            "eff in round 3 — now carries ~9x fewer bytes for source "
-            "text (see scripts/shuffle_bytes_probe.py for the measured "
-            "byte budget).  On a real N→4N cluster the shuffle fabric "
-            "carries the same compressed bytes, so the win compounds "
-            "with node count.",
+            "eff in round 3 — now carries ~8.7x less uncompressed "
+            "volume for source text (measured both budgets: "
+            "BENCH/SHUFFLE_BYTES.json via scripts/shuffle_bytes_probe"
+            ".py; on-wire shuffle bytes stay ~equal since Spark lz4s "
+            "shuffle blocks either way, wall 2.3x faster at 8 cores).  "
+            "What remains at N=2 vs 4N=8 on this one-socket host is "
+            "zstd/brotli kernel + IPC memory traffic sharing one "
+            "memory bus; on a real N→4N cluster each node brings its "
+            "own bus and NIC, and the fabric carries the same "
+            "compressed blobs.",
             "",
             *_pairs_table(sh, sh["all_pairs"]),
             "",

@@ -132,9 +132,12 @@ class EncodeOptions:
                               # instead of raw rows — map side packs each
                               # (input batch × part_id) group into one
                               # blob, reduce side reopens them zero-copy.
-                              # The row-serialize/exchange/JVM-sort/
-                              # reduce-IPC path then carries ~9x fewer
-                              # bytes for source text; measured 2.8x
+                              # The UNCOMPRESSED volume through row
+                              # serialization, the reduce-side sort and
+                              # the JVM<->Python Arrow IPC drops ~8.7x
+                              # on source text (on-wire shuffle bytes
+                              # stay ~equal — Spark lz4s them anyway;
+                              # BENCH/SHUFFLE_BYTES.json); measured 2.3x
                               # faster at 8 cores and 1.22x at 32
                               # (min-of-3, alternating) with block bytes
                               # identical (pinned by test) — and at
@@ -602,12 +605,14 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         """Map-side packer (shuffle_payload="packed"): group each input
         Arrow batch's rows by part_id and emit ONE row per (batch,
         part_id) group — a zstd-1-compressed Arrow-IPC blob holding the
-        group's rows.  The exchange then moves ~3-6x fewer bytes for
-        source text (batch-level compression, the best case) and the
-        reduce-side JVM→Python IPC moves the same compressed blobs —
-        at cluster scale this is the difference between the shuffle
-        fabric carrying the corpus raw vs compressed.  Vectorized:
-        one argsort + one IPC write per group, no per-row Python."""
+        group's rows.  The serialize/sort/IPC path then moves the
+        compressed blob bytes instead of every row byte (~8.7x less
+        uncompressed volume on source text — BENCH/SHUFFLE_BYTES.json;
+        the on-wire shuffle size barely changes because Spark lz4s
+        shuffle blocks either way).  At cluster scale the win is the
+        per-node serialization + IPC memcpy budget, which Spark never
+        compresses.  Vectorized: one argsort + one IPC write per
+        group, no per-row Python."""
         import numpy as np
 
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
