@@ -52,6 +52,7 @@ BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "200000"))
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "3200000"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "7"))
+AB_PAIRS = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "2"))
 WORK_DIR = os.environ.get("SPARK_GRAFT_WORK", "/tmp/vp_bench")
 
 
@@ -119,11 +120,11 @@ def bench_encode(spark, corpus_path: str, out: str, target_rows: int = 2500,
 
 
 def bench_encode_raw(spark, corpus_path: str, out: str,
-                     target_rows: int = 2500):
+                     target_rows: int = 2500, **enc_kwargs):
     """General path with shuffle_payload="raw" (legacy raw-row
     exchange; the default is packed zstd-1 Arrow-IPC blobs)."""
     return bench_encode(spark, corpus_path, out, target_rows,
-                        shuffle_payload="raw")
+                        shuffle_payload="raw", **enc_kwargs)
 
 
 def dir_bytes(pattern: str) -> int:
@@ -131,7 +132,8 @@ def dir_bytes(pattern: str) -> int:
 
 
 def main() -> None:
-    scaling = "--scaling" in sys.argv
+    scaling_only = "--scaling-only" in sys.argv
+    scaling = "--scaling" in sys.argv or scaling_only
     os.makedirs(WORK_DIR, exist_ok=True)
     from vcf2parquet_spark.session import get_spark
     from pyspark.sql import functions as F
@@ -143,95 +145,75 @@ def main() -> None:
                       extra_conf=bench_conf())
     corpus_path = materialize_corpus(spark, BENCH_ROWS)
 
+    if scaling_only:
+        # regenerate BENCH/BASELINE.md without re-timing the headline
+        # suite (the suite number comes from a plain `python bench.py`)
+        s = run_scaling(spark, corpus_path, pairs=SCALE_PAIRS)
+        print(json.dumps({
+            "metric": "N-vs-4N scaling efficiency (clustered path median)",
+            "value": s["efficiency"], "unit": "efficiency",
+            "queries": {}, "sf": _sf(), "scaling": s}))
+        return
+
     # warm-up: one group per worker so all python workers import numpy/
     # pyarrow and fault their pools outside the measured window
     warm_out = f"{WORK_DIR}/warm"
     from vcf2parquet_spark.encode import encode as _enc
+    from vcf2parquet_spark.decode import decode
     if os.path.exists(warm_out):
         shutil.rmtree(warm_out)
     _enc(spark, spark.read.parquet(corpus_path).limit(CPUS * 500), warm_out,
          target_rows=500)
 
-    # --- encode (best of 3: steady-state throughput — the encode job
-    # has the largest first-touch memory footprint, so it is the item
-    # most distorted by the host's time-varying page-fault throttle)
+    # --- suite definition.  Reps are INTERLEAVED round-robin (suite
+    # pass 1, then pass 2, then pass 3) rather than back-to-back per
+    # item: the host throttles in multi-minute windows, and min-of-3
+    # back-to-back reps all land inside one window (BENCH_r04 printed
+    # dedup_minhash 6.37 s that way; the same query re-measured 3.92 s
+    # an hour later).  Round-robin puts each item's reps in different
+    # windows, so the min estimator escapes a single throttled window.
     out = f"{WORK_DIR}/blocks"
-    dt = float("inf")
-    for _ in range(3):
-        dt_i, job = bench_encode(spark, corpus_path, out)
-        dt = min(dt, dt_i)
-    timings["encode"] = round(dt, 3)
-    raw_gb = job["raw_bytes"] / 1e9
-    extras["encode_gb"] = round(raw_gb, 3)
-    extras["encode_gbps"] = round(raw_gb / dt, 4)
-    extras["compression_ratio"] = round(job["raw_bytes"] / job["enc_bytes"], 3)
-    ref_bytes = dir_bytes(f"{corpus_path}/*.parquet")
-    our_bytes = dir_bytes(f"{out}/data/*.parquet")
-    extras["footprint_vs_snappy"] = round(our_bytes / ref_bytes, 4)
-
-    # --- FSST-selector encode (long_strings="fsst": the round-1..3
-    # default routing, where long string columns get fsst+zlib instead
-    # of plain+brotli-9).  Disclosed as its own line so the selector
-    # flip stays comparable across rounds (r3's "encode" ≈ this number;
-    # r3's "encode_fast" ≈ the new default "encode" above).
     out_fsst = f"{WORK_DIR}/blocks_fsst"
-    dt = float("inf")
-    for _ in range(2):
+    out_cl = f"{WORK_DIR}/blocks_cl"
+    rg_path = materialize_rg_corpus(spark, BENCH_ROWS)
+    jobs: dict = {}
+
+    def run_encode():
+        dt, jobs["encode"] = bench_encode(spark, corpus_path, out)
+        return dt
+
+    def run_fsst():
+        # long_strings="fsst" is the round-1..3 default routing, kept
+        # benchmarked so the selector flip stays comparable across rounds
         if os.path.exists(out_fsst):
             shutil.rmtree(out_fsst)
         t0 = time.time()
-        job_f = _enc(spark, spark.read.parquet(corpus_path), out_fsst,
-                     target_rows=2500, long_strings="fsst")
-        dt = min(dt, time.time() - t0)
-    timings["encode_fsst"] = round(dt, 3)
-    extras["encode_fsst_gbps"] = round(job_f["raw_bytes"] / 1e9 / dt, 4)
-    extras["footprint_fsst_vs_snappy"] = round(
-        dir_bytes(f"{out_fsst}/data/*.parquet") / ref_bytes, 4)
+        jobs["fsst"] = _enc(spark, spark.read.parquet(corpus_path), out_fsst,
+                            target_rows=2500, long_strings="fsst")
+        return time.time() - t0
 
-    # --- clustered encode (shuffle-free path over the same corpus laid
-    # out as a small-rowgroup table — the layout an Iceberg partition
-    # presents; content bytes never transit the JVM)
-    rg_path = materialize_rg_corpus(spark, BENCH_ROWS)
-    out_cl = f"{WORK_DIR}/blocks_cl"
-    dt = float("inf")
-    for _ in range(3):
-        dt_i, job_cl = bench_encode_clustered(spark, rg_path, out_cl,
-                                              target_rows=2500)
-        dt = min(dt, dt_i)
-    timings["encode_clustered"] = round(dt, 3)
-    extras["encode_clustered_gbps"] = round(
-        job_cl["raw_bytes"] / 1e9 / dt, 4)
+    def run_clustered():
+        dt, jobs["cl"] = bench_encode_clustered(spark, rg_path, out_cl,
+                                                target_rows=2500)
+        return dt
 
-    # --- decode + verify (min of 2, same steady-state policy as the
-    # query suite: run 1 pays the python workers' first-touch page
-    # faults for the decode buffers, which the sandbox throttles)
-    from vcf2parquet_spark.decode import decode
-    best = float("inf")
-    for _ in range(2):
+    def run_decode():
         t0 = time.time()
         decoded = decode(spark, out)
         n = (decoded.select(F.sha2("content", 256).alias("s"))
              .agg(F.count("*")).collect()[0][0])
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
         assert n == BENCH_ROWS, n
-    timings["decode_verify"] = round(best, 3)
+        return dt
 
-    # --- query suite on the driver testdata
     import __spark_entry__ as entry
 
-    def timed(name, fn):
-        best = float("inf")
-        for _ in range(3):  # min of 3: exclude codegen/JIT compile cost
-            # and the host's minute-scale throttle windows (a min-of-2
-            # dedup_minhash measured 17s in one window vs 4.3s steady)
+    def q(fn):
+        def run():
             t0 = time.time()
             fn(spark, SF_DIR).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-
-    timed("profile_stats", entry.q_profile_stats)
-    timed("cosine_topk", entry.q_cosine_topk)
-    timed("text_analysis", entry.q_quality)
+            return time.time() - t0
+        return run
 
     def dedup(spark_, sf_dir):
         from vcf2parquet_spark.functions.dedup import (
@@ -240,13 +222,44 @@ def main() -> None:
         sigs = minhash_signatures(docs, k=8)
         return lsh_candidates(sigs, bands=4, rows_per_band=2)
 
-    timed("dedup_minhash", dedup)
+    suite = [
+        ("encode", 3, run_encode),
+        ("encode_fsst", 2, run_fsst),
+        ("encode_clustered", 3, run_clustered),
+        ("decode_verify", 2, run_decode),
+        ("profile_stats", 3, q(entry.q_profile_stats)),
+        ("cosine_topk", 3, q(entry.q_cosine_topk)),
+        ("text_analysis", 3, q(entry.q_quality)),
+        ("dedup_minhash", 3, q(dedup)),
+    ]
+    best: dict[str, float] = {name: float("inf") for name, _, _ in suite}
+    for rep in range(max(r for _, r, _ in suite)):
+        for name, reps, fn in suite:
+            if rep < reps:
+                best[name] = min(best[name], fn())
+    for name, _, _ in suite:
+        timings[name] = round(best[name], 3)
+
+    job, job_f, job_cl = jobs["encode"], jobs["fsst"], jobs["cl"]
+    raw_gb = job["raw_bytes"] / 1e9
+    extras["encode_gb"] = round(raw_gb, 3)
+    extras["encode_gbps"] = round(raw_gb / best["encode"], 4)
+    extras["compression_ratio"] = round(job["raw_bytes"] / job["enc_bytes"], 3)
+    ref_bytes = dir_bytes(f"{corpus_path}/*.parquet")
+    extras["footprint_vs_snappy"] = round(
+        dir_bytes(f"{out}/data/*.parquet") / ref_bytes, 4)
+    extras["encode_fsst_gbps"] = round(
+        job_f["raw_bytes"] / 1e9 / best["encode_fsst"], 4)
+    extras["footprint_fsst_vs_snappy"] = round(
+        dir_bytes(f"{out_fsst}/data/*.parquet") / ref_bytes, 4)
+    extras["encode_clustered_gbps"] = round(
+        job_cl["raw_bytes"] / 1e9 / best["encode_clustered"], 4)
 
     if scaling:
         extras["scaling"] = run_scaling(spark, corpus_path,
                                         pairs=SCALE_PAIRS)
-
-    spark.stop()
+    else:
+        spark.stop()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -303,54 +316,58 @@ def _probe_copy(_):
 
 
 def bench_encode_clustered(spark, src: str, out: str,
-                           target_rows: int = 3000):
+                           target_rows: int = 3000, **enc_kwargs):
     from vcf2parquet_spark.encode import encode_clustered
     if os.path.exists(out):
         shutil.rmtree(out)
     t0 = time.time()
-    job = encode_clustered(spark, src, out, target_rows=target_rows)
+    job = encode_clustered(spark, src, out, target_rows=target_rows,
+                           **enc_kwargs)
     return time.time() - t0, job
 
 
 def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
     """Encode at local[N] and local[4N]; writes BENCH/BASELINE.md.
 
-    Two engine paths are measured, each over the same 1.6M-row input:
+    Two engine paths are measured, each over the same SCALING_ROWS
+    input, with EQUAL statistical weight (``pairs`` (N, 4N) pairs each
+    since round 5 — round 4 gave the shuffle path only 3):
 
     * ``clustered`` (PRIMARY — the north star's per-Iceberg-partition
       encode): work units are physical parquet rowgroup ranges read
       directly by each executor's Python worker.  No shuffle; content
       bytes never transit the JVM.
-    * ``shuffle`` (supplementary — the general path for arbitrary row
-      layouts): one explicit repartition by salted work unit.  Since
-      round 4 the exchange payload defaults to PACKED zstd-1 Arrow-IPC
-      sub-batch blobs, so the row-serialize/sort/reduce-IPC path
-      carries compressed bytes (~8.7x less uncompressed volume than
-      raw rows on source text — BENCH/SHUFFLE_BYTES.json);
-      ``shuffle_raw`` measures the legacy raw-row exchange.
+    * ``shuffle`` (the general path for arbitrary row layouts): one
+      explicit repartition by salted work unit.  Since round 4 the
+      exchange payload defaults to PACKED zstd-1 Arrow-IPC sub-batch
+      blobs, so the row-serialize/sort/reduce-IPC path carries
+      compressed bytes (~8.7x less uncompressed volume than raw rows
+      on source text — BENCH/SHUFFLE_BYTES.json).
 
-    Methodology: N = SCALE_N (default 2) so both levels sit inside the
-    host's linear region (see ``host_probe``) — the criterion is about
-    the ENGINE's scaling across cluster sizes, and above ~8 processes
-    this single host itself stops scaling (CPU eff ~0.69 for 8→32 pure
-    spin; aggregate memcpy bandwidth *falls*).  Each level runs in a
-    FRESH PROCESS pinned with ``taskset -c 0..cores-1`` (see
-    scripts/scale_level.py): the whole level — JVM, GC, shuffle IO,
-    Python workers — is confined to exactly N cores, the way an N-core
-    cluster slice would be (in-process levels let the JVM's auxiliary
-    threads spill onto the host's idle cores, so neither level measured
-    what N cores can do).  The host also throttles first-touch page
-    faults at a time-varying global rate, so a single N/4N pair can
-    straddle two host states; we run ``pairs`` interleaved (N, 4N)
-    pairs — each level min-of-3 measured runs after one unmeasured dry
-    run (symmetric estimator: the min is the least-throttled window at
-    BOTH levels) — and report the median pairwise efficiency, with
-    every raw measurement disclosed.
+    Pairs are interleaved ACROSS modes (clustered p0, shuffle p0,
+    clustered p1, ...) so one multi-minute host-throttle window cannot
+    sit on all of one mode's pairs.  Each level runs in a FRESH PROCESS
+    pinned with ``taskset -c 0..cores-1`` (scripts/scale_level.py): the
+    whole level — JVM, GC, shuffle IO, Python workers — is confined to
+    exactly N cores, the way an N-core cluster slice would be.  Per
+    level: one unmeasured dry run, then min of 3 measured runs
+    (symmetric estimator — the min is the least-throttled window at
+    BOTH levels); median pairwise efficiency reported, every raw
+    measurement disclosed.
 
-    Input sizing: SCALING_ROWS defaults to 1.6M rows (~800k rows/core at
-    N=2) so the per-job fixed overhead (plan, barrier, snapshot commit —
-    the `ovh` column) is a small fraction of the job; at 100 TB it is
-    invisible.
+    N = SCALE_N (default 2) so both levels sit inside the host's linear
+    region (see ``host_probe``): above ~8 processes this single host
+    itself stops scaling (CPU eff ~0.69 for 8→32 pure spin; aggregate
+    memcpy bandwidth *falls*), so 8→32 would measure the host.
+
+    Segment attribution (round 5): each level reports its compute
+    budget split into map-side pack, reduce-side IPC unpack, and the
+    kernel/sort/profile/write stages (manifest ``stage_seconds``), so
+    any Σudf inflation between N and 4N is attributed to a specific
+    segment.  An A/B experiment re-runs AB_PAIRS shuffle pairs with the
+    content column's codec flipped brotli-9 → zstd-9 to test whether
+    kernel inflation at 4N is codec-specific (memory-bus contention in
+    brotli's large-window matcher) or generic.
     """
     n_small = max(1, SCALE_N)
     n_big = n_small * 4
@@ -362,14 +379,17 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
         [n_small, n_big, min(4 * n_big, os.cpu_count() or n_big)]))
     probe = host_probe(probe_levels)
 
-    def run_one(cores: int, tag: str, mode: str) -> dict:
+    def run_one(cores: int, tag: str, mode: str,
+                content_codec: str | None = None, runs: int = 3) -> dict:
         import subprocess
         script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "scripts", "scale_level.py")
         cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, script,
                "--cores", str(cores), "--mode", mode,
                "--rows", str(SCALING_ROWS), "--target-rows", "3000",
-               "--runs", "3", "--tag", tag]
+               "--runs", str(runs), "--tag", tag]
+        if content_codec:
+            cmd += ["--content-codec", content_codec]
         p = subprocess.run(cmd, capture_output=True, text=True)
         lines = [ln for ln in p.stdout.strip().splitlines()
                  if ln.startswith("{")]
@@ -379,27 +399,33 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
                 f"{p.stderr[-2000:]}")
         return json.loads(lines[-1])
 
-    def run_mode(mode: str, n_pairs: int) -> dict:
-        runs: list[dict] = []
-        effs: list[float] = []
-        for i in range(n_pairs):
-            a = run_one(n_small, f"{mode}_p{i}", mode)
-            b = run_one(n_big, f"{mode}_p{i}", mode)
-            eff = (b["gbps"] / a["gbps"]) / (n_big / n_small)
-            runs.append({"pair": i, "n": a, "4n": b,
-                         "efficiency": round(eff, 4)})
-            effs.append(eff)
-        effs.sort()
+    def run_pair(i: int, mode: str, **kw) -> dict:
+        tag = kw.pop("tag_prefix", mode)
+        a = run_one(n_small, f"{tag}_p{i}", mode, **kw)
+        b = run_one(n_big, f"{tag}_p{i}", mode, **kw)
+        eff = (b["gbps"] / a["gbps"]) / (n_big / n_small)
+        return {"pair": i, "n": a, "4n": b, "efficiency": round(eff, 4)}
+
+    def summarize(mode: str, runs: list[dict]) -> dict:
+        effs = sorted(r["efficiency"] for r in runs)
         med = effs[len(effs) // 2]
         med_pair = next(r for r in runs
                         if round(r["efficiency"], 4) == round(med, 4))
-        # compute-scaling efficiency: per-core-normalized in-UDF seconds
-        # from the partition manifests — isolates the engine's
-        # work-conservation from the shared-host memory path
+        # compute-scaling efficiency: per-core-normalized engine compute
+        # seconds (reduce-side manifests + map-side pack files) —
+        # isolates work-conservation from the shared-host memory path
         ratio = n_big / n_small
+
+        def compute_s(level: dict) -> float:
+            # total engine compute: reduce-side encode_partition seconds
+            # (Σudf) + the blob unpack that precedes it (Σipc, timed in
+            # _flush, outside the manifest's clock) + map-side pack
+            return (level["udf_seconds"] + level.get("pack_seconds", 0.0)
+                    + level.get("ipc_seconds", 0.0))
+
         comp_effs = sorted(
-            (r["n"]["udf_seconds"] / n_small)
-            / (ratio * r["4n"]["udf_seconds"] / n_big)
+            (compute_s(r["n"]) / n_small)
+            / (ratio * compute_s(r["4n"]) / n_big)
             for r in runs if r["4n"].get("udf_seconds"))
         comp_med = comp_effs[len(comp_effs) // 2] if comp_effs else None
         best_pair = max(runs, key=lambda r: r["efficiency"])
@@ -413,15 +439,54 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
                 "n_pairs_ge_08": sum(1 for e in effs if e >= 0.8),
                 "compute_efficiency":
                     round(comp_med, 4) if comp_med else None,
+                "segments": _segment_medians(runs),
                 "all_pairs": runs}
 
-    summary = run_mode("clustered", pairs)
+    raw_runs: dict[str, list[dict]] = {"clustered": [], "shuffle": []}
+    for i in range(pairs):
+        for mode in ("clustered", "shuffle"):
+            raw_runs[mode].append(run_pair(i, mode))
+
+    summary = summarize("clustered", raw_runs["clustered"])
     summary["host_probe"] = probe
-    # supplementary path: fewer pairs — it contextualizes the primary
-    # number, it is not the scored evidence
-    summary["shuffle_path"] = run_mode("shuffle", min(pairs, 3))
+    summary["shuffle_path"] = summarize("shuffle", raw_runs["shuffle"])
+
+    # A/B attribution: same shuffle job with content brotli-9 -> zstd-9
+    ab_runs = [run_pair(i, "shuffle", tag_prefix="ab_zstd",
+                        content_codec="plain+zstd", runs=2)
+               for i in range(AB_PAIRS)]
+    if ab_runs:
+        summary["shuffle_path"]["ab_content_zstd"] = \
+            summarize("shuffle(content=plain+zstd)", ab_runs)
     _write_baseline_md(summary)
     return summary
+
+
+def _segment_medians(runs: list[dict]) -> dict:
+    """Median per-segment seconds at each level across pairs, plus the
+    4N/N inflation ratio per segment — the attribution table."""
+    def med(vals: list[float]) -> float:
+        vals = sorted(vals)
+        return vals[len(vals) // 2] if vals else 0.0
+
+    def seg_values(level_key: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for seg in ("pack_seconds", "ipc_seconds"):
+            out[seg.removesuffix("_seconds")] = med(
+                [r[level_key].get(seg, 0.0) for r in runs])
+        stage_keys = set()
+        for r in runs:
+            stage_keys |= set(r[level_key].get("stage_seconds", {}))
+        for k in sorted(stage_keys):
+            out[k] = med([r[level_key].get("stage_seconds", {}).get(k, 0.0)
+                          for r in runs])
+        return out
+
+    n, big = seg_values("n"), seg_values("4n")
+    return {"n": n, "4n": big,
+            "inflation_4n_over_n": {
+                k: round(big[k] / n[k], 3) if n.get(k) else None
+                for k in n}}
 
 
 def _host_context_line(s: dict) -> str:
@@ -457,28 +522,104 @@ def _host_context_line(s: dict) -> str:
 
 
 def _pairs_table(s: dict, all_pairs: list[dict]) -> list[str]:
+    shuffle = any(r["n"].get("pack_seconds") for r in all_pairs)
+    seg_hdr = "| Σpack | Σipc | Σkern " if shuffle else "| Σkern "
+    n_seg = 3 if shuffle else 1
     rows_tbl = [
         f"| pair | local[{s['n_cores']}] wall (s) | GB/s | Σudf (s) "
-        f"| ovh (s) | local[{s['4n_cores']}] wall (s) | GB/s | Σudf (s) "
-        "| ovh (s) | wall eff |",
-        "|---|---|---|---|---|---|---|---|---|---|"]
+        f"{seg_hdr}| ovh (s) "
+        f"| local[{s['4n_cores']}] wall (s) | GB/s | Σudf (s) "
+        f"{seg_hdr}| ovh (s) | wall eff |",
+        "|---" * (10 + 2 * n_seg) + "|"]
+
+    def segs(level: dict) -> str:
+        kern = level.get("stage_seconds", {}).get("kernel", "-")
+        if not shuffle:
+            return f"| {kern} "
+        return (f"| {level.get('pack_seconds', '-')} "
+                f"| {level.get('ipc_seconds', '-')} | {kern} ")
+
     for r in all_pairs:
         # fixed job overhead per level: wall minus per-core-normalized
-        # in-kernel seconds — pure arithmetic on the measured columns
+        # engine compute seconds (udf + map-side pack) — pure arithmetic
+        # on the measured columns
         try:
-            ov_n = r["n"]["seconds"] - r["n"]["udf_seconds"] / s["n_cores"]
-            ov_4n = (r["4n"]["seconds"]
-                     - r["4n"]["udf_seconds"] / s["4n_cores"])
-            ov_n, ov_4n = round(ov_n, 1), round(ov_4n, 1)
+            comp_n = (r["n"]["udf_seconds"]
+                      + r["n"].get("pack_seconds", 0.0)
+                      + r["n"].get("ipc_seconds", 0.0))
+            comp_4n = (r["4n"]["udf_seconds"]
+                       + r["4n"].get("pack_seconds", 0.0)
+                       + r["4n"].get("ipc_seconds", 0.0))
+            ov_n = round(r["n"]["seconds"] - comp_n / s["n_cores"], 1)
+            ov_4n = round(r["4n"]["seconds"] - comp_4n / s["4n_cores"], 1)
         except (KeyError, TypeError):
             ov_n = ov_4n = "-"
         rows_tbl.append(
             f"| {r['pair']} | {r['n']['seconds']} | {r['n']['gbps']} "
-            f"| {r['n'].get('udf_seconds', '-')} | {ov_n} "
+            f"| {r['n'].get('udf_seconds', '-')} {segs(r['n'])}| {ov_n} "
             f"| {r['4n']['seconds']} | {r['4n']['gbps']} "
-            f"| {r['4n'].get('udf_seconds', '-')} | {ov_4n} "
+            f"| {r['4n'].get('udf_seconds', '-')} {segs(r['4n'])}| {ov_4n} "
             f"| {r['efficiency']} |")
     return rows_tbl
+
+
+def _segments_table(s: dict) -> list[str]:
+    """Median per-segment seconds at N vs 4N + inflation ratio — the
+    attribution of where Σudf inflation (if any) lives."""
+    seg = s.get("segments")
+    if not seg:
+        return []
+    rows = [
+        "",
+        f"Per-segment compute attribution ({s['mode']}; median seconds "
+        "across pairs; inflation = 4N/N — a segment whose seconds GROW "
+        "with cores is contending for a shared resource, one that stays "
+        "flat is work-conserving):",
+        "",
+        "| segment | Σs @ N | Σs @ 4N | inflation 4N/N |",
+        "|---|---|---|---|"]
+    for k in seg["n"]:
+        if seg["n"][k] == 0 and seg["4n"][k] == 0:
+            continue
+        infl = seg["inflation_4n_over_n"].get(k)
+        rows.append(f"| {k} | {seg['n'][k]} | {seg['4n'][k]} "
+                    f"| {infl if infl is not None else '-'} |")
+    return rows
+
+
+def _ab_section(sh: dict) -> list[str]:
+    """The content-codec A/B: same shuffle job, content column flipped
+    plain+brotli9 → plain+zstd, both levels.  Tests whether kernel-
+    seconds inflation at 4N is brotli-specific (its large-window
+    matcher is memory-bus-hungry) or generic to any codec kernel."""
+    ab = sh.get("ab_content_zstd")
+    if not ab:
+        return []
+    base_infl = (sh.get("segments", {})
+                 .get("inflation_4n_over_n", {}).get("kernel"))
+    ab_infl = (ab.get("segments", {})
+               .get("inflation_4n_over_n", {}).get("kernel"))
+    return [
+        "",
+        "### A/B attribution: content codec brotli-9 vs zstd-9",
+        "",
+        f"Same shuffle job with `codec_overrides={{'content': "
+        f"'plain+zstd'}}` ({len(ab['all_pairs'])} pairs, min-of-2 per "
+        "level).  If the default path's kernel-seconds inflation at 4N "
+        "were brotli-9-specific memory-bus contention, the zstd-9 job "
+        "would scale visibly better; comparable inflation means the "
+        "contention is generic byte-path pressure on this one-socket "
+        "host.",
+        "",
+        f"Median wall eff = **{ab['efficiency']}** "
+        f"({ab['thr_n_gbps']} → {ab['thr_4n_gbps']} GB/s), compute eff "
+        f"{ab.get('compute_efficiency')}.  Kernel-seconds inflation "
+        f"4N/N: default(brotli-9) **{base_infl}** vs zstd-9 "
+        f"**{ab_infl}**.",
+        "",
+        *_pairs_table(ab, ab["all_pairs"]),
+        *_segments_table(ab),
+    ]
 
 
 def _write_baseline_md(s: dict) -> None:
@@ -532,6 +673,7 @@ def _write_baseline_md(s: dict) -> None:
         "Raw measurements (clustered path):",
         "",
         *_pairs_table(s, s["all_pairs"]),
+        *_segments_table(s),
         "",
         "ovh = wall − Σudf/cores: the per-job fixed overhead (plan,",
         "barrier, snapshot commit, and the host's globally rate-limited",
@@ -553,13 +695,16 @@ def _write_baseline_md(s: dict) -> None:
         "unmeasured dry run (steady state), then min of 3 measured runs",
         "— the same symmetric estimator at both levels (the host",
         "throttles first-touch page faults at a time-varying global",
-        "rate; the min is the least-throttled window).  Multiple pairs",
-        "are interleaved because a single pair can still straddle two",
-        "host states.  Median over pairs is reported; every raw number is",
+        "rate; the min is the least-throttled window).  Pairs are",
+        "interleaved across BOTH modes (clustered p0, shuffle p0,",
+        "clustered p1, ...) because a single pair can still straddle two",
+        "host states — and so one window cannot sit on all of one mode's",
+        "pairs.  Median over pairs is reported; every raw number is",
         "in the table.",
         "",
         *([
-            "## Supplementary: general shuffle path",
+            "## General shuffle path (equal weight: same pair count as "
+            "clustered)",
             "",
             f"Median wall eff = **{sh['efficiency']}** "
             f"({sh['thr_n_gbps']} → {sh['thr_4n_gbps']} GB/s), compute "
@@ -581,7 +726,16 @@ def _write_baseline_md(s: dict) -> None:
             "own bus and NIC, and the fabric carries the same "
             "compressed blobs.",
             "",
+            "Σpack = map-side blob packing (zstd-1 IPC write), Σipc = "
+            "reduce-side blob unpack (timed outside the manifest clock, "
+            "so Σudf = Σkern + sort + profile + write), Σkern = codec",
+            "kernels inside encode_partition; all summed over the best "
+            "run's manifests/side-files.  ovh = wall − (Σudf+Σpack+Σipc)"
+            "/cores.",
+            "",
             *_pairs_table(sh, sh["all_pairs"]),
+            *_segments_table(sh),
+            *_ab_section(sh),
             "",
         ] if sh else []),
         "## Why N=2 (and not CPUS/4=8)",

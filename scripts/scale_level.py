@@ -11,6 +11,18 @@ host's idle cores, so neither level measured what N cores can do.)
 A fresh process per level also guarantees no JVM/session state carries
 between levels.  The corpus must already be materialized (the parent
 does it once, untimed).
+
+Besides wall seconds, the level reports the engine's own compute
+budget split by pipeline segment (summed over the best run's
+manifests + map-side pack side-files):
+
+* ``pack_seconds``   — map-side zstd-1 Arrow-IPC packing (shuffle path)
+* ``ipc_seconds``    — reduce-side blob unpack (memcpy/zstd-decode path)
+* ``stage_seconds``  — load / sort / profile / kernel / write inside
+                       encode_partition
+
+The split is what attributes any Σudf inflation between N and 4N to a
+specific segment (codec kernels vs the memory-bus-bound byte path).
 """
 from __future__ import annotations
 
@@ -18,11 +30,32 @@ import argparse
 import glob
 import json
 import os
-import shutil
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _collect_metrics(out: str) -> dict:
+    """Sum per-segment seconds over one finished run's manifests and
+    pack side-files."""
+    udf = 0.0
+    ipc = 0.0
+    stages: dict[str, float] = {}
+    for f in glob.glob(f"{out}/manifests/*.json"):
+        with open(f) as fh:
+            m = json.load(fh)["metrics"]
+        udf += m["seconds"]
+        ipc += m.get("ipc_seconds", 0.0)
+        for k, v in m.get("stage_seconds", {}).items():
+            stages[k] = stages.get(k, 0.0) + v
+    pack = 0.0
+    for f in glob.glob(f"{out}/pack_metrics/*.json"):
+        with open(f) as fh:
+            pack += json.load(fh)["pack_seconds"]
+    return {"udf_seconds": round(udf, 1),
+            "pack_seconds": round(pack, 1),
+            "ipc_seconds": round(ipc, 1),
+            "stage_seconds": {k: round(v, 1) for k, v in stages.items()}}
 
 
 def main() -> int:
@@ -35,6 +68,9 @@ def main() -> int:
     ap.add_argument("--target-rows", type=int, default=3000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--tag", default="p0")
+    ap.add_argument("--content-codec", default=None,
+                    help="codec_overrides entry for the content column "
+                         "(A/B attribution runs, e.g. plain+zstd9)")
     args = ap.parse_args()
 
     import bench
@@ -49,6 +85,8 @@ def main() -> int:
     if not os.path.isdir(corpus):
         print(json.dumps({"error": f"corpus missing: {corpus}"}))
         return 1
+    extra = ({"codec_overrides": {"content": args.content_codec}}
+             if args.content_codec else {})
 
     spark = get_spark(cores=args.cores,
                       app_name=f"vp_scale_{args.cores}_{args.tag}",
@@ -63,28 +101,25 @@ def main() -> int:
         w.parquet(dry_in)
     runner(spark, dry_in,
            f"{bench.WORK_DIR}/scale_dry_{args.mode}_{args.cores}",
-           target_rows=args.target_rows)
+           target_rows=args.target_rows, **extra)
 
     out = f"{bench.WORK_DIR}/scale_{args.mode}_{args.cores}"
     # min of N measured runs: the host's first-touch fault throttle
     # varies minute-to-minute; the min is the least-throttled window.
     # Same policy at both levels (symmetric estimator).
-    best, job, best_udf = float("inf"), None, None
+    best, job, best_metrics = float("inf"), None, None
     for _ in range(args.runs):
-        dt, j = runner(spark, corpus, out, target_rows=args.target_rows)
-        udf = 0.0
-        for f in glob.glob(f"{out}/manifests/*.json"):
-            with open(f) as fh:
-                udf += json.load(fh)["metrics"]["seconds"]
+        dt, j = runner(spark, corpus, out, target_rows=args.target_rows,
+                       **extra)
         if dt < best:
-            best, job, best_udf = dt, j, udf
+            best, job, best_metrics = dt, j, _collect_metrics(out)
     spark.stop()
     print(json.dumps({
         "seconds": round(best, 3),
         "gbps": round(job["raw_bytes"] / 1e9 / best, 4),
         "rows": job["n_rows"], "raw_bytes": job["raw_bytes"],
         "n_partitions": job["n_partitions"],
-        "udf_seconds": round(best_udf, 1)}))
+        **best_metrics}))
     return 0
 
 

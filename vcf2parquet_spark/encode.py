@@ -297,7 +297,7 @@ def _content_digest(t: pa.Table) -> str:
 def encode_partition(part_id: int, t: pa.Table, output: str,
                      opts: EncodeOptions, schema_columns: list[str],
                      already_sorted: bool = False,
-                     loader=None) -> dict:
+                     loader=None, extra_metrics: dict | None = None) -> dict:
     """Encode one work unit (runs on an executor). Returns summary dict.
 
     ``already_sorted`` is set by :func:`encode` when the shuffle itself
@@ -308,10 +308,22 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
     ``loader``: optional zero-arg callable returning the table — used by
     the clustered path so the parquet rowgroup read is timed as part of
     the unit's work (``metrics.seconds`` in the manifest).
+
+    ``extra_metrics`` merges into ``manifest['metrics']`` — the shuffle
+    path passes its reduce-side Arrow-IPC unpack seconds here so the
+    scaling report can attribute wall time per pipeline segment.
+
+    The manifest's ``metrics`` record the per-stage decomposition
+    (``load/sort/profile/kernel/write`` seconds) alongside the total:
+    at two cluster sizes the per-segment sums show WHERE any Σudf
+    inflation lives (codec kernels vs the memcpy-bound byte path) —
+    the evidence the N-vs-4N scaling criterion needs.
     """
     t0 = time.time()
+    stage = dict.fromkeys(("load", "sort", "profile", "kernel", "write"), 0.0)
     if loader is not None:
         t = loader()
+        stage["load"] = time.time() - t0
     if not opts.nullable:
         bad = {c: t.column(c).null_count for c in t.column_names
                if t.column(c).null_count}
@@ -323,10 +335,14 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
     sort_keys = [(c, "ascending") for c in opts.sort_columns
                  if c in t.column_names]
     if sort_keys and not already_sorted:
+        ts = time.time()
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        stage["sort"] = time.time() - ts
     if opts.derived_columns:
         t = _derive_int_columns(t)
+    tp = time.time()
     profiles = {c: profile_arrow(t.column(c), c) for c in t.column_names}
+    stage["profile"] = time.time() - tp
     codecs = choose_codecs(profiles, opts.codec_overrides,
                            residual=opts.residual,
                            long_strings=opts.long_strings)
@@ -338,6 +354,7 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
     n_blocks = 0
     raw_total = 0
     enc_total = 0
+    tk = time.time()
     for b, lo in enumerate(range(0, n, opts.batch_size)):
         chunk = t.slice(lo, opts.batch_size)
         for col in t.column_names:
@@ -356,13 +373,16 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
             enc_total += len(payload)
         n_blocks += 1
     raw_total = sum(rows["raw_bytes"])
+    stage["kernel"] = time.time() - tk
 
+    tw = time.time()
     blocks = pa.table(
         {k: pa.array(v, type=tbl.BLOCKS_SCHEMA.field(k).type)
          for k, v in rows.items()},
         schema=tbl.BLOCKS_SCHEMA)
     tbl.write_blocks_file(tbl.data_path(output, part_id), blocks,
                           parquet_version=opts.parquet_version)
+    stage["write"] = time.time() - tw
 
     seconds = time.time() - t0
     manifest = {
@@ -378,7 +398,10 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
         "content_sha256": _content_digest(t),
         "sort_columns": list(opts.sort_columns),
         "metrics": {"seconds": seconds,
-                    "rows_per_s": n / seconds if seconds > 0 else None},
+                    "rows_per_s": n / seconds if seconds > 0 else None,
+                    "stage_seconds": {k: round(v, 4)
+                                      for k, v in stage.items()},
+                    **(extra_metrics or {})},
         "status": "committed",
     }
     manifest.update(opts.manifest_tags)
@@ -479,7 +502,12 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
 
         raw mode: the slices ARE the rows.  packed mode: each slice row
         is a zstd-compressed Arrow-IPC blob of a map-side sub-batch;
-        open each blob zero-copy (``as_buffer``) and concatenate."""
+        open each blob zero-copy (``as_buffer``) and concatenate.  The
+        concatenation stays CHUNKED (no combine_chunks): a work unit
+        whose string column sums past 2 GiB would overflow int32
+        offsets in a combine (the decode-side failure class fixed in
+        round 4); encode_partition handles chunked columns — its
+        kernels combine per 100k-row batch slice, which is bounded."""
         if not packed:
             return pa.Table.from_batches(parts).drop_columns(["part_id"])
         tables = []
@@ -488,8 +516,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
             for i in range(len(blob_col)):
                 tables.append(pa.ipc.open_stream(
                     blob_col[i].as_buffer()).read_all())
-        return (pa.concat_tables(tables).combine_chunks()
-                .drop_columns(["part_id"]))
+        return pa.concat_tables(tables).drop_columns(["part_id"])
 
     def _encode_stream(batches):
         """mapInArrow kernel: consume the shuffle partition's (part_id-
@@ -515,7 +542,11 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         # worker's next task would race the stale reads.  The reader
         # checks the flag around every (bounded-timeout) put; the
         # consumer sets it and JOINS the reader in a finally block
-        # before propagating.
+        # before propagating.  This MITIGATES (not eliminates) the
+        # stale-read race: a reader blocked inside next(batches) — a
+        # socket read — cannot observe the flag, so the join below can
+        # time out with the daemon thread still alive; that case is
+        # loudly reported (stderr) instead of silently proceeding.
         stop = threading.Event()
 
         def _put(item) -> bool:
@@ -547,11 +578,15 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
             nonlocal cur_pid, parts
             if cur_pid is None:
                 return None
+            ti = time.time()
             t = _materialize(parts)
+            ipc_s = time.time() - ti
             parts = []
             summary = encode_partition(cur_pid, t, output, opts_b,
                                        list(out_cols),
-                                       already_sorted=presort)
+                                       already_sorted=presort,
+                                       extra_metrics={
+                                           "ipc_seconds": round(ipc_s, 4)})
             cur_pid = None
             return pa.RecordBatch.from_pylist([summary],
                                               schema=_sum_schema)
@@ -588,6 +623,16 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
             except queue.Empty:
                 pass
             reader.join(timeout=10.0)
+            if reader.is_alive():
+                # blocked in next(batches) (socket read) — it cannot see
+                # the stop flag there.  Don't raise (that would mask the
+                # propagating exception, if any); make the hazard loud so
+                # a stale-read symptom on a reused worker is attributable.
+                import sys as _sys
+                print(f"vcf2parquet_spark: WARNING: shuffle prefetch "
+                      f"reader still alive after 10s join (part "
+                      f"{cur_pid}); a reused python worker may race "
+                      f"stale reads", file=_sys.stderr, flush=True)
 
     # Explicit shuffle width: work units hashed into only ~#cores buckets
     # make the largest bucket the wall clock (and AQE would coalesce
@@ -612,13 +657,23 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         shuffle blocks either way).  At cluster scale the win is the
         per-node serialization + IPC memcpy budget, which Spark never
         compresses.  Vectorized: one argsort + one IPC write per
-        group, no per-row Python."""
+        group, no per-row Python.
+
+        Map-side seconds (the loop body only — waiting on the upstream
+        scan/join iterator is NOT pack work) are written to
+        ``{output}/pack_metrics/pack_<taskPartitionId>.json`` so the
+        scaling report can split the engine's compute budget into
+        map-side pack vs reduce-side kernel segments."""
+        import os as _os
         import numpy as np
+        from pyspark import TaskContext
 
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
         _pin_arrow(opts_b.arrow_cpu)
         ipc_opts = pa.ipc.IpcWriteOptions(compression=pa.Codec("zstd", 1))
+        pack_s = 0.0
         for b in batches:
+            tb0 = time.time()
             pids = b.column("part_id").to_numpy(zero_copy_only=False)
             order = np.argsort(pids, kind="stable")
             bs = b.take(pa.array(order))
@@ -641,9 +696,22 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
                 # is of COMPRESSED bytes only
                 out_blobs.append(sink.getvalue().to_pybytes())
             if out_pids:
-                yield pa.record_batch(
+                out_b = pa.record_batch(
                     {"part_id": pa.array(out_pids, pa.int64()),
                      "blob": pa.array(out_blobs, pa.binary())})
+                pack_s += time.time() - tb0
+                yield out_b
+            else:
+                pack_s += time.time() - tb0
+        tc = TaskContext.get()
+        mdir = _os.path.join(output, "pack_metrics")
+        _os.makedirs(mdir, exist_ok=True)
+        # keyed by the task's partition id: a retried attempt overwrites
+        # its predecessor instead of double-counting
+        with open(_os.path.join(
+                mdir, f"pack_{tc.partitionId() if tc else 0}.json"),
+                "w") as fh:
+            json.dump({"pack_seconds": round(pack_s, 4)}, fh)
 
     pre_shuffle = (with_part.mapInArrow(_pack_stream,
                                         schema="part_id long, blob binary")
