@@ -369,18 +369,26 @@ def q_multimodal_meta(spark, sf_dir):
 
 def _roundtrip_matched(df: DataFrame, decoded: DataFrame) -> DataFrame:
     """MULTISET compare of input vs decoded (repo, path, sha256(content))
-    rows: per-key group counts on both sides, inner-joined, summing
-    least(n_in, n_out).  Unlike an ``intersect`` (set semantics), a
-    dropped or double-emitted duplicate row changes the result — the
-    same strictness as decode.verify()'s full check."""
+    rows: per-key group counts on both sides, FULL-OUTER-joined; a key
+    contributes its row count only when both sides agree EXACTLY, and
+    any disagreeing key (dropped rows, over-emitted duplicates, or a
+    spurious key on either side) contributes -1 — so the total can
+    equal count(*)+1 only if the decoded multiset is identical to the
+    input multiset.  (The round-4 inner-join + least(n_a, n_b) form
+    detected drops but not over-emission: a decoder double-emitting an
+    existing row still summed to the input count.)"""
     def counted(d, side):
         return (d.groupBy("repo", "path",
                           F.sha2("content", 256).alias("sha"))
                 .agg(F.count("*").alias(side)))
-    j = counted(df, "n_a").join(counted(decoded, "n_b"),
-                                ["repo", "path", "sha"])
-    return j.agg(F.coalesce(F.sum(F.least("n_a", "n_b")), F.lit(0))
-                 .cast("long").alias("n_matched"))
+    j = (counted(df, "n_a").join(counted(decoded, "n_b"),
+                                 ["repo", "path", "sha"], "full_outer")
+         .select(F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                 F.coalesce("n_b", F.lit(0)).alias("n_b")))
+    return j.agg(F.coalesce(
+        F.sum(F.when(F.col("n_a") == F.col("n_b"), F.col("n_a"))
+              .otherwise(F.lit(-1))), F.lit(0))
+        .cast("long").alias("n_matched"))
 
 
 def q_encode_roundtrip(spark, sf_dir):

@@ -111,6 +111,60 @@ def test_source_xz_bad_base_format(spark, tmp_path):
         read_corpus(spark, str(tmp_path), fmt="avro.xz")
 
 
+def test_xz_streaming_chunked_parse(spark, small_corpus):
+    """VERDICT r5 item 5: the .xz path must parse in bounded memory —
+    lzma.LZMAFile streaming + chunked pandas parse, never a whole-file
+    lzma.decompress.  Asserted at the chunk iterator level (chunk count
+    and shape) and end-to-end (a small chunk_rows yields the same
+    multiset through read_corpus)."""
+    import json
+    import lzma
+    import math
+
+    from vcf2parquet_spark.sources import _iter_xz_chunks
+
+    rows = [{"repo": f"org/r{i % 3}", "path": f"f{i}.py",
+             "commit": f"{i:040x}", "lang": "py",
+             "content": f"line {i}\n" * 3} for i in range(10)]
+    raw = lzma.compress(
+        "\n".join(json.dumps(r) for r in rows).encode())
+
+    for chunk_rows in (3, 4, 100):
+        chunks = list(_iter_xz_chunks(raw, "jsonl", chunk_rows))
+        assert len(chunks) == math.ceil(len(rows) / chunk_rows)
+        assert all(len(c) <= chunk_rows for c in chunks)
+        assert sum(len(c) for c in chunks) == len(rows)
+        flat = [dict(zip(c.columns, vals))
+                for c in chunks for vals in c.itertuples(index=False)]
+        assert flat == rows
+
+    # csv leg: header parsed once, chunks after it still aligned
+    import csv
+    import io
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow(["repo", "path", "commit", "lang", "content"])
+    for r in rows:
+        w.writerow([r[c] for c in
+                    ("repo", "path", "commit", "lang", "content")])
+    raw_csv = lzma.compress(buf.getvalue().encode())
+    chunks = list(_iter_xz_chunks(raw_csv, "csv", 4))
+    assert len(chunks) == 3 and sum(len(c) for c in chunks) == 10
+
+    # end-to-end through Spark with a tiny chunk size: same multiset
+    import os
+    import tempfile
+    d = tempfile.mkdtemp(prefix="vp_xz_chunk_")
+    expect = small_corpus
+    with lzma.open(os.path.join(d, "part-0.jsonl.xz"), "wt") as f:
+        f.write("\n".join(json.dumps(r.asDict())
+                          for r in expect.collect()))
+    back = read_corpus(spark, d, fmt="jsonl.xz", xz_chunk_rows=2)
+    assert back.count() == expect.count()
+    assert back.exceptAll(expect).count() == 0
+    assert expect.exceptAll(back).count() == 0
+
+
 def test_source_csv_xz_null_parity(spark, tmp_path):
     """Empty CSV fields decode to NULL on BOTH the native Spark CSV
     path and the binaryFile+lzma .xz path (Spark's nullValue="" default

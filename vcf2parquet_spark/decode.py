@@ -250,7 +250,32 @@ def register_view(spark: SparkSession, output: str, name: str,
     return df
 
 
-_IDENT_RE = __import__("re").compile(r"`([^`]*)`|[A-Za-z_][A-Za-z0-9_$]*")
+_re = __import__("re")
+_IDENT_RE = _re.compile(r"`([^`]*)`|[A-Za-z_][A-Za-z0-9_$]*")
+_SQL_STRING_RE = _re.compile(r"'(?:[^']|'')*'")
+_BACKTICK_RE = _re.compile(r"`[^`]*`")
+_WORD_BEFORE_RE = _re.compile(r"([A-Za-z_][A-Za-z0-9_$]*)$")
+# keywords after which a bare `*` is star EXPANSION, not multiplication
+_STAR_KEYWORDS = frozenset(("SELECT", "DISTINCT", "ALL"))
+
+
+def _has_star_token(query: str) -> bool:
+    """True iff the query contains a star-expansion token (``SELECT *``,
+    ``tbl.*``, ``count(*)``) as opposed to an arithmetic ``*``
+    (``n_lines*2``).  Classification is by the preceding token: star
+    expansion follows nothing, ``,``, ``(``, ``.``, or a
+    SELECT/DISTINCT/ALL keyword; multiplication follows an operand
+    (identifier, number, ``)``, ``]``).  String literals and backquoted
+    identifiers are masked first so a ``*`` inside them never counts."""
+    q = _BACKTICK_RE.sub("c", _SQL_STRING_RE.sub("''", query))
+    for m in _re.finditer(r"\*", q):
+        prev = q[:m.start()].rstrip()
+        if not prev or prev[-1] in ",(.":
+            return True
+        w = _WORD_BEFORE_RE.search(prev)
+        if w and w.group(1).upper() in _STAR_KEYWORDS:
+            return True
+    return False
 
 
 def referenced_columns(query: str, all_columns: list[str]) -> list[str]:
@@ -260,10 +285,18 @@ def referenced_columns(query: str, all_columns: list[str]) -> list[str]:
 
     Over-approximates by design — a column named inside a string
     literal or comment is kept (costs a decoded column, never
-    correctness), and any ``*`` (star expansion, including ``count(*)``)
-    keeps every column.  Under-approximation is impossible: a direct
-    column reference must spell the column name as an identifier."""
-    if "*" in query:
+    correctness), and a star-expansion token (``SELECT *``, ``tbl.*``,
+    ``count(*)`` — see :func:`_has_star_token`; arithmetic ``*`` does
+    NOT count) keeps every column.  Under-approximation is impossible
+    for identifier references: a direct column reference must spell the
+    column name as an identifier.  One documented exception: with
+    ``spark.sql.parser.quotedRegexColumnNames=true`` a backquoted REGEX
+    column spec (e.g. ``SELECT `co.*` FROM t``) is not an identifier —
+    its regex-matched columns are not detected here, so such queries
+    may fail against the pruned view; that non-default parser mode is
+    unsupported by :func:`sql` (use ``decode(columns=...)`` +
+    ``register_view`` explicitly instead)."""
+    if _has_star_token(query):
         return list(all_columns)
     toks = {(m.group(1) if m.group(1) is not None else m.group(0)).lower()
             for m in _IDENT_RE.finditer(query)}

@@ -122,19 +122,25 @@ def lsh_candidates(sigs: DataFrame, key_col: str = "doc_id",
     buckets = band_rows[0]
     for extra in band_rows[1:]:
         buckets = buckets.unionByName(extra)
-    # Pre-drop over-cap (band, bucket) keys with a DISTINCT-count
+    # Pre-drop over-cap (band, bucket) keys with a distinct-count
     # aggregate + broadcast anti-join BEFORE collect_set, so a
     # boilerplate mega-bucket never materializes as one giant array in
     # a single aggregation buffer (a post-hoc size filter would bound
-    # only the pair explosion, not executor memory).  countDistinct —
+    # only the pair explosion, not executor memory).  Distinct-based —
     # not count(*) — because the guard's semantics are "more than
     # max_bucket distinct docs in the bucket": a caller passing sigs
     # with duplicate rows per doc must not get buckets dropped early.
-    # Spark plans it as two hash aggregations (partial dedup on
-    # (band, bucket, key), then count) — still map-side combinable and
-    # bounded memory per key.
+    # approx_count_distinct (HLL++, rsd 5%) instead of exact
+    # countDistinct: the guard only needs "roughly > cap", and the
+    # exact form costs a second shuffle of every (band, bucket, key)
+    # triple — at 100 TB that dedup pass IS a full-table shuffle.  The
+    # sketch is map-side combinable in ONE aggregation pass.  Tolerance:
+    # HLL++ counts small sets exactly (sparse mode covers any sane
+    # max_bucket); in the large-count regime the ±5% relative error
+    # moves the effective cap to max_bucket*(1±0.05), which only shifts
+    # WHERE an already-degenerate mega-bucket is cut off.
     hot = (buckets.groupBy("band", "bucket")
-           .agg(F.countDistinct(key_col).alias("_n"))
+           .agg(F.approx_count_distinct(key_col, rsd=0.05).alias("_n"))
            .filter(F.col("_n") > max_bucket)
            .select("band", "bucket"))
     buckets = buckets.join(F.broadcast(hot), ["band", "bucket"], "left_anti")

@@ -26,54 +26,79 @@ CORPUS_DDL = ("repo string, path string, commit string, "
               "lang string, content string")
 
 
-def _read_xz(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+# rows per decompressed parse chunk for .xz members: bounds worker
+# memory to ~chunk_rows rows regardless of member size (a multi-GB
+# member decompresses incrementally through lzma.LZMAFile)
+XZ_CHUNK_ROWS = 100_000
+
+
+def _iter_xz_chunks(raw: bytes, fmt: str, chunk_rows: int):
+    """Stream-parse ONE compressed .xz member into pandas DataFrames of
+    ≤ ``chunk_rows`` rows each, normalized to the corpus columns.
+
+    ``lzma.LZMAFile`` decompresses incrementally as the pandas C parser
+    pulls bytes — the whole decompressed member is never materialized
+    (the round-4 ``lzma.decompress(raw)`` held it all in one worker,
+    where the reference streams via niffler,
+    /root/reference/src/bin/vcf2parquet.rs:24-27).  The compressed
+    bytes themselves arrive whole from the binaryFile scan, matching
+    the reference's file-at-a-time unit."""
+    import io
+    import lzma
+
+    import pandas as pd
+
+    buf = lzma.LZMAFile(io.BytesIO(raw))
+    if fmt in ("jsonl", "json"):
+        reader = pd.read_json(buf, lines=True, dtype="string",
+                              chunksize=chunk_rows)
+    else:
+        # na_values=[""] (only) matches the native Spark CSV reader's
+        # nullValue="" default, so the same corpus decodes identically
+        # whether it arrived as .csv or .csv.xz; keep_default_na=False
+        # stops pandas nulling literal "NA"/"null" strings, which Spark
+        # keeps as text.
+        reader = pd.read_csv(buf, dtype="string", keep_default_na=False,
+                             na_values=[""], chunksize=chunk_rows)
+    with reader:
+        for part in reader:
+            for c in CORPUS_COLUMNS:
+                if c not in part.columns:
+                    part[c] = pd.Series(dtype="string", index=part.index)
+            yield part[CORPUS_COLUMNS].astype(object)
+
+
+def _read_xz(spark: SparkSession, path: str, fmt: str,
+             chunk_rows: int = XZ_CHUNK_ROWS) -> DataFrame:
     """jsonl.xz / csv.xz: binaryFile scan (one task per file — the same
-    parallelism Spark gives non-splittable .gz) + lzma + pandas C
-    parsers inside mapInPandas."""
+    parallelism Spark gives non-splittable .gz) + streaming lzma +
+    chunked pandas C parsers inside mapInPandas (bounded memory per
+    worker — see :func:`_iter_xz_chunks`)."""
     bin_df = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
 
     def op(batches):
-        import io
-        import lzma
-
-        import pandas as pd
-
         for pdf in batches:
             for raw in pdf["content"]:
-                buf = io.BytesIO(lzma.decompress(raw))
-                if fmt in ("jsonl", "json"):
-                    part = pd.read_json(buf, lines=True, dtype="string")
-                else:
-                    # na_values=[""] (only) matches the native Spark
-                    # CSV reader's nullValue="" default, so the same
-                    # corpus decodes identically whether it arrived as
-                    # .csv or .csv.xz; keep_default_na=False stops
-                    # pandas nulling literal "NA"/"null" strings, which
-                    # Spark keeps as text.
-                    part = pd.read_csv(buf, dtype="string",
-                                       keep_default_na=False,
-                                       na_values=[""])
-                for c in CORPUS_COLUMNS:
-                    if c not in part.columns:
-                        part[c] = pd.Series(dtype="string")
-                yield part[CORPUS_COLUMNS].astype(object)
+                yield from _iter_xz_chunks(raw, fmt, chunk_rows)
 
     return bin_df.mapInPandas(op, schema=CORPUS_DDL)
 
 
-def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet"
-                ) -> DataFrame:
+def read_corpus(spark: SparkSession, path: str, fmt: str = "parquet",
+                xz_chunk_rows: int = XZ_CHUNK_ROWS) -> DataFrame:
     """Load a corpus table from parquet / jsonl(.gz|.bz2|.xz) /
     csv(.gz|.bz2|.xz).
 
     Returns exactly the 5 input_hint columns, validated.
+    ``xz_chunk_rows`` bounds per-worker memory on .xz members (rows per
+    streamed parse chunk).
     """
     if fmt.endswith(".xz") or path.endswith(".xz"):
         base = fmt.removesuffix(".xz")
         if base not in ("jsonl", "json", "csv"):
             raise SchemaError(f"unsupported corpus format: {fmt}")
-        df = _read_xz(spark, path, base)
+        df = _read_xz(spark, path, base, chunk_rows=xz_chunk_rows)
     elif fmt == "parquet":
         df = spark.read.parquet(path)
     elif fmt in ("jsonl", "json"):
