@@ -449,6 +449,58 @@ def q_clustered_roundtrip(spark, sf_dir):
     return _roundtrip_matched(spark.read.parquet(src), decoded)
 
 
+def _entry_corpus_blocks(spark, sf_dir, prefix):
+    """Shared adapter: documents reshaped to corpus columns, encoded to
+    a fresh blocks table (the same shape q_encode_roundtrip proves
+    bit-identical)."""
+    import tempfile
+
+    from vcf2parquet_spark import encode
+
+    out = tempfile.mkdtemp(prefix=prefix) + "/blocks"
+    df = _doc(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+    encode(spark, df, out, batch_size=1000, target_rows=1000)
+    return out
+
+
+def q_datasource_read(spark, sf_dir):
+    """The encoded table read back through the ``vcfblocks`` Spark data
+    source (pyspark 4.1 Python Data Source API — datasource.py) with
+    the ``columns`` option pruning the block read to (lang, content):
+    per-lang row counts and total content chars must match DuckDB over
+    the raw documents table, proving the format's plan + decode path
+    end-to-end for any ``spark.read.format(...)`` consumer."""
+    from vcf2parquet_spark.datasource import read_blocks
+
+    out = _entry_corpus_blocks(spark, sf_dir, "vp_entry_ds_")
+    ds = read_blocks(spark, out, columns=["lang", "content"])
+    return (ds.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.length("content")).cast("long")
+                  .alias("total_chars")))
+
+
+def q_datasource_pushdown(spark, sf_dir):
+    """Partition-filter pushdown through the data source: Catalyst
+    hands the scan ``size_bytes > 300``; ``pushFilters`` prunes
+    committed partitions via the manifest min/max bounds and Spark
+    re-applies the exact predicate on decoded rows (partial pushdown —
+    the Iceberg model), so the aggregate must equal DuckDB computing
+    the same predicate from the raw text."""
+    from vcf2parquet_spark.datasource import read_blocks
+
+    out = _entry_corpus_blocks(spark, sf_dir, "vp_entry_dsf_")
+    ds = read_blocks(spark, out, include_derived=True)
+    return (ds.filter(F.col("size_bytes") > 300)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("n_lines").cast("long").alias("total_lines")))
+
+
 def q_media_features(spark, sf_dir):
     """Feature-extraction pipeline, projected to scalar rows: the
     float32 histogram feature is de-normalized back to its exact
@@ -531,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "encode_roundtrip": q_encode_roundtrip,
         "clustered_roundtrip": q_clustered_roundtrip,
+        "datasource_read": q_datasource_read,
+        "datasource_pushdown": q_datasource_pushdown,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
@@ -1002,6 +1056,22 @@ def oracle_sql() -> dict[str, str]:
         # identical guarantee through the shuffle-free clustered path
         "clustered_roundtrip": """
             SELECT CAST(count(*) + 1 AS BIGINT) AS n_matched FROM documents
+        """,
+        # vcfblocks data source read (columns-pruned): per-lang counts +
+        # total chars recomputed from the raw text
+        "datasource_read": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        # vcfblocks pushdown: size_bytes is the encoded table's derived
+        # byte length (strlen in duckdb); n_lines = newline count + 1
+        "datasource_pushdown": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(length(text)
+                            - length(replace(text, chr(10), '')) + 1)
+                        AS BIGINT) AS total_lines
+            FROM documents WHERE strlen(text) > 300
         """,
     } | {"ann_buckets": _ann_buckets_sql(),
          "embedding_near_dups": _near_dups_sql()}

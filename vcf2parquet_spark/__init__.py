@@ -34,5 +34,7 @@ __all__ = ["encode", "decode", "verify", "synth_corpus", "__version__"]
 from vcf2parquet_spark.corpus import synth_corpus
 from vcf2parquet_spark.encode import EncodeOptions, encode, encode_clustered
 from vcf2parquet_spark.decode import decode, register_view, sql, verify
+from vcf2parquet_spark.datasource import read_blocks, register_data_source
 
-__all__ += ["EncodeOptions", "encode_clustered", "register_view", "sql"]
+__all__ += ["EncodeOptions", "encode_clustered", "register_view", "sql",
+            "read_blocks", "register_data_source"]
