@@ -501,6 +501,33 @@ def q_datasource_pushdown(spark, sf_dir):
                  F.sum("n_lines").cast("long").alias("total_lines")))
 
 
+def q_datasource_write(spark, sf_dir):
+    """The WRITE half of the data source: the corpus-shaped documents
+    table (plus one deliberately duplicated row) written with
+    ``df.write.format("vcfblocks").mode("append")`` — each task runs the
+    same profile → codec-select → kernel pipeline as encode(), and the
+    driver maps Spark's job-commit onto one snapshot — then decoded and
+    sha256 MULTISET-matched.  n_matched == count(*) + 1 iff every row
+    survives the standard-API write path bit-identically."""
+    import tempfile
+
+    from vcf2parquet_spark.datasource import register_data_source
+    from vcf2parquet_spark.decode import decode as dec
+
+    register_data_source(spark)
+    out = tempfile.mkdtemp(prefix="vp_entry_dsw_") + "/blocks"
+    df = _doc(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+    df = df.unionByName(df.filter(F.col("path") == "0"))  # injected dup
+    (df.repartition(4, "repo").write.format("vcfblocks")
+       .option("batch_size", 1000).mode("append").save(out))
+    return _roundtrip_matched(df, dec(spark, out))
+
+
 def q_media_features(spark, sf_dir):
     """Feature-extraction pipeline, projected to scalar rows: the
     float32 histogram feature is de-normalized back to its exact
@@ -585,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_roundtrip": q_clustered_roundtrip,
         "datasource_read": q_datasource_read,
         "datasource_pushdown": q_datasource_pushdown,
+        "datasource_write": q_datasource_write,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
@@ -1055,6 +1083,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical guarantee through the shuffle-free clustered path
         "clustered_roundtrip": """
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_matched FROM documents
+        """,
+        # identical guarantee through df.write.format("vcfblocks") —
+        # the standard-API write path (multiset, injected dup)
+        "datasource_write": """
             SELECT CAST(count(*) + 1 AS BIGINT) AS n_matched FROM documents
         """,
         # vcfblocks data source read (columns-pruned): per-lang counts +

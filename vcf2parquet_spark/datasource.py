@@ -32,21 +32,32 @@ pyarrow.  The reference has no reader analogue (its pipeline is
 one-way, /root/reference/src/lib.rs:19-67); this is the Spark-native
 surface an analytics engine needs on top.
 
+The format is also WRITABLE (:class:`BlocksArrowWriter`): one task =
+one input partition = one encoded partition through the same
+``encode_partition`` kernels, with Spark's job-commit protocol mapped
+onto the table's snapshot log (append/overwrite = Iceberg-style
+logical snapshots, abort = file cleanup).
+
 Usage::
 
     from vcf2parquet_spark.datasource import register_data_source
     register_data_source(spark)
     df = (spark.read.format("vcfblocks")
           .option("columns", "lang,content").load(out))
+    df2.write.format("vcfblocks").mode("append").save(out)
 """
 
 from __future__ import annotations
 
 import json
-from typing import TYPE_CHECKING, Iterator, Sequence
+import os
+import time
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterator, List, Optional, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -55,6 +66,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from vcf2parquet_spark import table as tbl
@@ -177,10 +189,139 @@ class BlocksReader(DataSourceReader):
                  for c in cols})
 
 
+@dataclass
+class PartCommit(WriterCommitMessage):
+    """One task's commit message: which partition it encoded (None for
+    an empty input split) and its size accounting."""
+    part_id: Optional[int] = None
+    n_rows: int = 0
+    raw_bytes: int = 0
+    enc_bytes: int = 0
+
+
+class BlocksArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("vcfblocks").save(out)`` — the write half of
+    the format, making the encoded table a full round trip through the
+    standard Spark API.
+
+    One task = one input partition of the DataFrame = one encoded
+    partition (the user controls unit sizing via ``df.repartition``,
+    exactly like the clustered path's rowgroup units): each task runs
+    :func:`vcf2parquet_spark.encode.encode_partition` — the same
+    profile → codec-select → kernel → atomic blocks-file + manifest
+    commit as every other write path — and ships a :class:`PartCommit`
+    back.  The driver-side :meth:`commit` then appends ONE snapshot,
+    mapping Spark's commit protocol directly onto the table's
+    Iceberg-style log:
+
+    * ``mode("append")``  → snapshot over previous live set ∪ new parts
+    * ``mode("overwrite")`` → snapshot over ONLY this job's parts — a
+      LOGICAL overwrite (Iceberg semantics): old partitions leave the
+      live set but stay on disk for time travel until
+      ``expire_snapshots`` reclaims them.
+
+    Failed/speculative task attempts are safe: part ids are derived
+    from the deterministic Spark partition id and every file lands via
+    unique-tmp + rename, and a retry re-encodes byte-identical blocks.
+    A failed JOB calls :meth:`abort`, which deletes the reported parts'
+    files; parts from unreported failed tasks are superseded the same
+    way a crashed ``encode()`` run's are (never adopted once a later
+    snapshot exists).
+
+    Note the global planning steps of :func:`vcf2parquet_spark.encode.
+    encode` (repo-count partition plan, hot-repo salting, packed
+    exchange) do NOT run here — Spark's writer protocol hands each task
+    whatever partitioning the caller arranged.  For skew-aware layout
+    use ``encode()``; this writer is the standard-API surface over the
+    same kernels.
+    """
+
+    def __init__(self, schema, options: dict, overwrite: bool) -> None:
+        from vcf2parquet_spark.encode import EncodeOptions
+        from vcf2parquet_spark.errors import StorageError
+
+        path = options.get("path")
+        if not path:
+            raise StorageError("vcfblocks: .save(<table path>) is required")
+        self._path = path
+        self._overwrite = overwrite
+        kw: dict = {}
+        if options.get("batch_size"):
+            kw["batch_size"] = int(options["batch_size"])
+        if options.get("residual"):
+            kw["residual"] = options["residual"]
+        if options.get("long_strings"):
+            kw["long_strings"] = options["long_strings"]
+        if str(options.get("sort", "true")).lower() in ("false", "0", "no"):
+            kw["sort_columns"] = ()
+        # snapshot=False: encode_partition commits manifests; THIS class
+        # owns the snapshot, inside the Spark commit protocol
+        self._opts = EncodeOptions(snapshot=False, resume=False, **kw)
+        self._schema_columns = [f.name for f in schema.fields]
+        tbl.init_layout(path)
+        committed = tbl.committed_parts(path)
+        self._offset = (max(committed) + 1) if committed else 0
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> PartCommit:
+        import pyarrow as pa
+
+        import vcf2parquet_spark._alloc  # noqa: F401 (worker mallopt)
+        from pyspark import TaskContext
+        from vcf2parquet_spark.encode import _pin_arrow, encode_partition
+        _pin_arrow(self._opts.arrow_cpu)
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return PartCommit(part_id=None)
+        ctx = TaskContext.get()
+        part_id = self._offset + (ctx.partitionId() if ctx else 0)
+        t = pa.Table.from_batches(batches)
+        s = encode_partition(part_id, t, self._path, self._opts,
+                             self._schema_columns)
+        return PartCommit(part_id=part_id, n_rows=s["n_rows"],
+                          raw_bytes=s["raw_bytes"],
+                          enc_bytes=s["enc_bytes"])
+
+    def commit(self, messages: List[Optional[PartCommit]]) -> None:
+        new = sorted(m.part_id for m in messages
+                     if m is not None and m.part_id is not None)
+        snap = tbl.commit_snapshot(
+            self._path,
+            operation="overwrite" if self._overwrite else "append",
+            wall_time=time.time(),
+            part_ids=new if self._overwrite else None)
+        tbl.write_table_meta(self._path, {
+            "current_snapshot_id": snap["snapshot_id"],
+            "format": "vcf2parquet_spark.blocks.v1",
+            "schema_columns": self._schema_columns,
+            "n_partitions": snap["summary"]["n_partitions"],
+            "n_committed": snap["summary"]["n_partitions"],
+            "n_rows": snap["summary"]["n_rows"],
+            "raw_bytes": snap["summary"]["raw_bytes"],
+            "enc_bytes": snap["summary"]["enc_bytes"],
+            "batch_size": self._opts.batch_size,
+            "target_rows": self._opts.target_rows,
+            "encoded_this_run": new,
+        })
+
+    def abort(self, messages: List[Optional[PartCommit]]) -> None:
+        for m in messages or []:
+            if m is not None and getattr(m, "part_id", None) is not None:
+                for p in (tbl.data_path(self._path, m.part_id),
+                          tbl.manifest_path(self._path, m.part_id)):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+
+
 class BlocksDataSource(DataSource):
     """``spark.read.format("vcfblocks").load(out)`` — options:
     ``columns`` (comma-separated pruning), ``include_derived``
-    ("true"), ``snapshot_id`` (int, time travel)."""
+    ("true"), ``snapshot_id`` (int, time travel).  Writable:
+    ``df.write.format("vcfblocks").mode("append"|"overwrite")
+    .save(out)`` (options ``batch_size``, ``residual``,
+    ``long_strings``, ``sort``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -196,6 +337,9 @@ class BlocksDataSource(DataSource):
 
     def reader(self, schema) -> BlocksReader:
         return BlocksReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> BlocksArrowWriter:
+        return BlocksArrowWriter(schema, self.options, overwrite)
 
 
 def register_data_source(spark) -> None:
