@@ -133,6 +133,42 @@ def test_writer_options_respected(reg, tmp_path):
     assert got.select(*df.columns).exceptAll(df).count() == 0
 
 
+def test_schema_changing_overwrite_and_time_travel(reg, tmp_path):
+    """After an overwrite with a DIFFERENT schema, current reads present
+    the new schema and a snapshot_id read presents the OLD parts' schema
+    (column set comes from the selected manifests, not the table file)."""
+    spark = reg
+    out = str(tmp_path / "sc_blocks")
+    d1 = synth_corpus(spark, 300, seed=13, partitions=1)
+    d1.write.format("vcfblocks").mode("append").save(out)
+    sid1 = tbl.read_table_meta(out)["current_snapshot_id"]
+
+    d2 = (synth_corpus(spark, 200, seed=14, partitions=1)
+          .withColumnRenamed("commit", "rev"))          # new schema
+    d2.write.format("vcfblocks").mode("overwrite").save(out)
+
+    now = spark.read.format("vcfblocks").load(out)
+    assert "rev" in now.columns and "commit" not in now.columns
+    asof = (spark.read.format("vcfblocks")
+            .option("snapshot_id", sid1).load(out))
+    assert "commit" in asof.columns and "rev" not in asof.columns
+    assert asof.count() == 300
+    old = decode(spark, out, snapshot_id=sid1)
+    assert "commit" in old.columns and old.count() == 300
+
+
+def test_append_schema_mismatch_raises(reg, tmp_path):
+    spark = reg
+    out = str(tmp_path / "mm_blocks")
+    synth_corpus(spark, 100, seed=15, partitions=1) \
+        .write.format("vcfblocks").mode("append").save(out)
+    bad = (synth_corpus(spark, 100, seed=16, partitions=1)
+           .withColumnRenamed("commit", "rev"))
+    with pytest.raises(Exception) as ei:
+        bad.write.format("vcfblocks").mode("append").save(out)
+    assert "schema" in str(ei.value).lower()
+
+
 def test_empty_partitions_are_skipped(reg, tmp_path):
     spark = reg
     out = str(tmp_path / "e_blocks")

@@ -105,9 +105,12 @@ def _plan(options: dict) -> tuple[dict, list[str], list[str]]:
         manifests = {p: m for p, m in committed.items() if p in snaps[sid]}
     if not manifests:
         raise StorageError(f"no committed partitions under {path}")
-    meta = tbl.read_table_meta(path)
+    # base columns from the SELECTED manifests (not the table file): a
+    # snapshot_id read after a schema-changing overwrite must present
+    # the schema those parts were written with (see decode.decode)
     first = next(iter(manifests.values()))
-    return manifests, list(meta["schema_columns"]), list(first["all_columns"])
+    return (manifests, list(first["schema_columns"]),
+            list(first["all_columns"]))
 
 
 def _option_columns(options: dict, base: list[str],
@@ -261,6 +264,16 @@ class BlocksArrowWriter(DataSourceArrowWriter):
         tbl.init_layout(path)
         committed = tbl.committed_parts(path)
         self._offset = (max(committed) + 1) if committed else 0
+        if committed and not overwrite:
+            from vcf2parquet_spark.errors import SchemaError
+            live = tbl.live_parts(path)
+            have = next(iter(live.values()))["schema_columns"] if live \
+                else next(iter(committed.values()))["schema_columns"]
+            if list(have) != self._schema_columns:
+                raise SchemaError(
+                    f"vcfblocks append: incoming schema "
+                    f"{self._schema_columns} != table schema {list(have)} "
+                    f"(use mode('overwrite') to replace the live set)")
 
     def write(self, iterator: Iterator["pa.RecordBatch"]) -> PartCommit:
         import pyarrow as pa

@@ -127,7 +127,6 @@ def decode(spark: SparkSession, output: str,
         live = set(plan_decode_parts(output, filters, snapshot_id))
         manifests = {pid: m for pid, m in manifests.items() if pid in live}
         if not manifests:   # nothing can match: empty DataFrame, right schema
-            meta0 = tbl.read_table_meta(output)
             committed0 = tbl.committed_parts(output)
             if not committed0:
                 raise StorageError(f"no committed partitions under {output}")
@@ -135,7 +134,7 @@ def decode(spark: SparkSession, output: str,
             # same column-selection rule as the non-empty path below
             cols0 = columns or (
                 some["all_columns"] if include_derived
-                else meta0["schema_columns"])
+                else some["schema_columns"])
             ddl0 = ", ".join(
                 f"`{c}` {_SPARK_TYPES[some['profiles'][c]['type']]}"
                 for c in cols0)
@@ -148,10 +147,13 @@ def decode(spark: SparkSession, output: str,
         raise StorageError(
             f"manifest/data mismatch: committed partitions {missing} have no "
             f"data file under {output}/{tbl.DATA_DIR} — table is corrupt")
-    meta = tbl.read_table_meta(output)
     first = next(iter(manifests.values()))
+    # base columns come from the SELECTED manifests' own recorded schema,
+    # not the table file: after a schema-changing overwrite the table
+    # meta describes the new live set, but a snapshot_id read scans the
+    # OLD parts — whose manifests carry the schema they were written with
     out_columns = columns or (
-        first["all_columns"] if include_derived else meta["schema_columns"])
+        first["all_columns"] if include_derived else first["schema_columns"])
     # DDL from the manifest's profile type tags
     ddl = ", ".join(
         f"`{c}` {_SPARK_TYPES[first['profiles'][c]['type']]}"
