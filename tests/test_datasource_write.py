@@ -169,6 +169,27 @@ def test_append_schema_mismatch_raises(reg, tmp_path):
     assert "schema" in str(ei.value).lower()
 
 
+def test_compact_writer_table(reg, tmp_path):
+    """Streaming/writer appends accumulate small partitions — the exact
+    small-file case compact() exists for.  A writer-written table
+    compacts like any other: fewer live parts, same rows, and the data
+    source reads the post-compact live set."""
+    from vcf2parquet_spark.maintenance import compact
+
+    spark = reg
+    out = str(tmp_path / "c_blocks")
+    df = synth_corpus(spark, 1200, seed=17, partitions=1)
+    df.repartition(6).write.format("vcfblocks").mode("append").save(out)
+    assert len(tbl.live_parts(out)) == 6
+
+    rep = compact(spark, out, target_rows=2000)
+    assert rep["status"] != "noop"
+    assert len(tbl.live_parts(out)) < 6
+    got = spark.read.format("vcfblocks").load(out)
+    assert got.count() == 1200
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+
 def test_empty_partitions_are_skipped(reg, tmp_path):
     spark = reg
     out = str(tmp_path / "e_blocks")
