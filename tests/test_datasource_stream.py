@@ -1,0 +1,113 @@
+"""``writeStream.format("vcfblocks")`` — the Structured Streaming sink
+half of the data source (``DataSourceStreamArrowWriter``).
+
+Exactly-once comes from deterministic final part ids assigned at epoch
+commit — ``(batchId + 1) * EPOCH_STRIDE + task partition id`` — so a
+replayed micro-batch atomically overwrites the same files instead of
+appending duplicates (no dedupe bookkeeping needed); each epoch lands
+as one ``stream_epoch`` snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from vcf2parquet_spark import table as tbl
+from vcf2parquet_spark.corpus import synth_corpus
+from vcf2parquet_spark.datasource import register_data_source
+from vcf2parquet_spark.decode import decode
+from vcf2parquet_spark.streaming.encode_stream import EPOCH_STRIDE
+
+SCHEMA = ("repo string, path string, commit string, "
+          "lang string, content string")
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    register_data_source(spark)
+    return spark
+
+
+def _start(spark, src, out, cp):
+    return (spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 4).parquet(src)
+            .writeStream.format("vcfblocks")
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .start(out))
+
+
+def test_stream_sink_epochs_and_exactly_once(reg, tmp_path):
+    spark = reg
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "blocks")
+    cp = str(tmp_path / "cp")
+
+    d1 = synth_corpus(spark, 600, seed=21, partitions=2)
+    d1.write.parquet(src)
+
+    q = _start(spark, src, out, cp)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert decode(spark, out).count() == 600
+    snaps = tbl.snapshots(out)
+    assert snaps and all(s["operation"] == "stream_epoch" for s in snaps)
+    # part ids live in the epoch namespace
+    assert all(p >= EPOCH_STRIDE for p in tbl.committed_parts(out))
+    # staging is drained
+    assert os.listdir(os.path.join(out, "_staging")) == []
+
+    # second epoch: more files arrive, restart from the same checkpoint
+    d2 = (synth_corpus(spark, 400, seed=22, partitions=2)
+          .withColumn("repo", F.concat(F.lit("s2/"), F.col("repo"))))
+    d2.write.mode("append").parquet(src)
+    q = _start(spark, src, out, cp)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = decode(spark, out)
+    assert got.count() == 1000
+    assert got.filter(F.col("repo").startswith("s2/")).count() == 400
+
+    # exactly-once: a THIRD restart with nothing new must not re-append
+    q = _start(spark, src, out, cp)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert decode(spark, out).count() == 1000
+
+    # the table reads back through the batch data source too
+    ds = spark.read.format("vcfblocks").load(out)
+    assert ds.count() == 1000
+    want = d1.unionByName(d2)
+    assert ds.exceptAll(want).count() == 0
+    assert want.exceptAll(ds).count() == 0
+
+
+def test_stream_sink_fresh_checkpoint_same_batch_overwrites(reg, tmp_path):
+    """Replaying batch 0 (fresh checkpoint, same input) recomputes the
+    same final part ids and overwrites in place — row count unchanged
+    (the replay-safety property behind exactly-once)."""
+    spark = reg
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "blocks")
+    d = synth_corpus(spark, 300, seed=23, partitions=1)
+    d.write.parquet(src)
+
+    for cp in ("cp_a", "cp_b"):       # two runs, both see batchId=0
+        q = _start(spark, src, out, str(tmp_path / cp))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert decode(spark, out).count() == 300
+    rep = tbl.snapshots(out)
+    assert rep[-1]["summary"]["n_rows"] == 300

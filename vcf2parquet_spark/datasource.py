@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -328,6 +329,149 @@ class BlocksArrowWriter(DataSourceArrowWriter):
                         pass
 
 
+@dataclass
+class StagedPart(WriterCommitMessage):
+    """One streaming task's staged output: blocks file + manifest JSON
+    encoded into a per-attempt staging dir, final id assigned by the
+    driver at epoch commit (the task does not know the batch id)."""
+    task_pid: int = 0
+    staged_dir: Optional[str] = None   # None = empty input split
+    staged_data: Optional[str] = None
+    manifest_json: Optional[str] = None
+    n_rows: int = 0
+
+
+class BlocksStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("vcfblocks").option("checkpointLocation",
+    ...).start(out)`` — the Structured Streaming face of the format,
+    with EXACTLY-ONCE row delivery mapped onto the table's snapshot log
+    (the standard-API sibling of ``streaming.encode_stream``'s
+    foreachBatch, which keeps the skew-planned ``encode()`` layout).
+
+    The executor-side :meth:`write` does not know the micro-batch id,
+    so each task encodes its split into a per-attempt STAGING dir
+    (``<table>/_staging/<uuid>``) via the same ``encode_partition``
+    kernels and ships the blocks file + manifest location back.  The
+    driver-side :meth:`commit` then assigns DETERMINISTIC final ids —
+    ``(batchId + 1) * EPOCH_STRIDE + task partition id``, the same
+    namespace as ``encode_stream`` — and ``os.replace``s the staged
+    files in.  Exactly-once follows without any dedupe bookkeeping:
+
+    * a REPLAYED micro-batch (restart from the streaming checkpoint
+      before its epoch committed) recomputes the SAME final ids and
+      atomically overwrites the same files — never a duplicate row;
+    * a crash mid-commit is healed by the replay finishing the same
+      renames; the epoch's snapshot de-dupes itself
+      (``commit_snapshot`` no-ops when the live set is unchanged);
+    * failed/speculative task attempts stage under distinct uuids and
+      only the reported attempt is adopted; :meth:`abort` and query
+      start purge staging (single-writer protocol, as everywhere).
+    """
+
+    def __init__(self, schema, options: dict, overwrite: bool) -> None:
+        from vcf2parquet_spark.encode import EncodeOptions
+        from vcf2parquet_spark.errors import StorageError
+        from vcf2parquet_spark.streaming.encode_stream import EPOCH_STRIDE
+
+        path = options.get("path")
+        if not path:
+            raise StorageError(
+                "vcfblocks: .start(<table path>) / option('path') required")
+        self._path = path
+        self._stride = EPOCH_STRIDE
+        kw: dict = {}
+        if options.get("batch_size"):
+            kw["batch_size"] = int(options["batch_size"])
+        if options.get("residual"):
+            kw["residual"] = options["residual"]
+        if options.get("long_strings"):
+            kw["long_strings"] = options["long_strings"]
+        if str(options.get("sort", "true")).lower() in ("false", "0", "no"):
+            kw["sort_columns"] = ()
+        self._opts = EncodeOptions(snapshot=False, resume=False, **kw)
+        self._schema_columns = [f.name for f in schema.fields]
+        tbl.init_layout(path)
+        os.makedirs(os.path.join(path, "_staging"), exist_ok=True)
+        # NOTE: no staging purge here — Spark instantiates this writer
+        # MORE than once per query (micro-batch planner and the lazy
+        # commit runner), including AFTER tasks have already staged
+        # files; purging belongs at the END of commit()/abort(), when
+        # every adopted file has been renamed out and anything left is
+        # a superseded attempt or a crashed epoch's leftovers.
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> StagedPart:
+        import uuid
+
+        import pyarrow as pa
+
+        import vcf2parquet_spark._alloc  # noqa: F401 (worker mallopt)
+        from pyspark import TaskContext
+        from vcf2parquet_spark.encode import _pin_arrow, encode_partition
+        _pin_arrow(self._opts.arrow_cpu)
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            return StagedPart(task_pid=pid)
+        staging = os.path.join(self._path, "_staging", uuid.uuid4().hex)
+        tbl.init_layout(staging)
+        t = pa.Table.from_batches(batches)
+        s = encode_partition(pid, t, staging, self._opts,
+                             self._schema_columns)
+        with open(tbl.manifest_path(staging, pid)) as f:
+            manifest_json = f.read()
+        return StagedPart(task_pid=pid, staged_dir=staging,
+                          staged_data=tbl.data_path(staging, pid),
+                          manifest_json=manifest_json, n_rows=s["n_rows"])
+
+    def commit(self, messages: List[Optional[StagedPart]],
+               batchId: int) -> None:
+        import shutil
+
+        staged = sorted((m for m in messages
+                         if m is not None and m.staged_dir is not None),
+                        key=lambda m: m.task_pid)
+        for m in staged:
+            final_id = (batchId + 1) * self._stride + m.task_pid
+            manifest = json.loads(m.manifest_json)
+            manifest["part_id"] = final_id
+            manifest["stream_batch_id"] = batchId
+            os.replace(m.staged_data, tbl.data_path(self._path, final_id))
+            tbl.commit_manifest(self._path, final_id, manifest)
+        # drain staging: adopted files were renamed out above; whatever
+        # remains is a superseded speculative attempt or a crashed
+        # earlier epoch's leftovers (epochs are serial, so no in-flight
+        # task can still be writing here)
+        staging_root = os.path.join(self._path, "_staging")
+        for d in os.listdir(staging_root):
+            shutil.rmtree(os.path.join(staging_root, d),
+                          ignore_errors=True)
+        snap = tbl.commit_snapshot(self._path, operation="stream_epoch",
+                                   wall_time=time.time())
+        tbl.write_table_meta(self._path, {
+            "current_snapshot_id": snap["snapshot_id"],
+            "format": "vcf2parquet_spark.blocks.v1",
+            "schema_columns": self._schema_columns,
+            "n_partitions": snap["summary"]["n_partitions"],
+            "n_committed": snap["summary"]["n_partitions"],
+            "n_rows": snap["summary"]["n_rows"],
+            "raw_bytes": snap["summary"]["raw_bytes"],
+            "enc_bytes": snap["summary"]["enc_bytes"],
+            "batch_size": self._opts.batch_size,
+            "target_rows": self._opts.target_rows,
+            "last_stream_batch_id": batchId,
+        })
+
+    def abort(self, messages: List[Optional[StagedPart]],
+              batchId: int) -> None:
+        import shutil
+
+        for m in messages or []:
+            if m is not None and getattr(m, "staged_dir", None):
+                shutil.rmtree(m.staged_dir, ignore_errors=True)
+
+
 class BlocksDataSource(DataSource):
     """``spark.read.format("vcfblocks").load(out)`` — options:
     ``columns`` (comma-separated pruning), ``include_derived``
@@ -353,6 +497,9 @@ class BlocksDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> BlocksArrowWriter:
         return BlocksArrowWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> BlocksStreamWriter:
+        return BlocksStreamWriter(schema, self.options, overwrite)
 
 
 def register_data_source(spark) -> None:
