@@ -227,10 +227,14 @@ class BlocksArrowWriter(DataSourceArrowWriter):
     Failed/speculative task attempts are safe: part ids are derived
     from the deterministic Spark partition id and every file lands via
     unique-tmp + rename, and a retry re-encodes byte-identical blocks.
-    A failed JOB calls :meth:`abort`, which deletes the reported parts'
-    files; parts from unreported failed tasks are superseded the same
-    way a crashed ``encode()`` run's are (never adopted once a later
-    snapshot exists).
+    A failed JOB calls :meth:`abort`, which deletes the parts reported
+    in commit messages.  A part whose task committed its manifest but
+    whose message never reached the driver is left behind as a
+    committed-but-unsnapshotted partition — the table treats those
+    exactly like a crashed ``encode()`` run's output (``live_parts``
+    adopts them, the crash-resume semantics): re-running the same job
+    overwrites them byte-identically, or ``snapshots``/``history`` +
+    ``expire_snapshots`` reclaims abandoned ones.
 
     Note the global planning steps of :func:`vcf2parquet_spark.encode.
     encode` (repo-count partition plan, hot-repo salting, packed
