@@ -260,6 +260,24 @@ def main() -> None:
                                         pairs=SCALE_PAIRS)
     else:
         spark.stop()
+        # surface the committed scaling medians (the full N-vs-4N suite
+        # takes ~2h, far beyond a per-round bench) — clearly labeled as
+        # read from the last `--scaling` run, not measured in THIS run
+        try:
+            with open("BENCH/SCALING.json") as f:
+                s = json.load(f)
+            extras["scaling_cached"] = {
+                "source": "BENCH/SCALING.json (last bench.py --scaling "
+                          "run; full report in BENCH/BASELINE.md)",
+                "clustered_wall_eff_median": s["efficiency"],
+                "clustered_compute_eff_median": s["compute_efficiency"],
+                "shuffle_wall_eff_median": s["shuffle_path"]["efficiency"],
+                "shuffle_compute_eff_median":
+                    s["shuffle_path"]["compute_efficiency"],
+                "n_pairs_per_path": len(s["all_pairs"]),
+            }
+        except (OSError, KeyError, ValueError):
+            pass
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
