@@ -38,6 +38,14 @@ one input partition = one encoded partition through the same
 onto the table's snapshot log (append/overwrite = Iceberg-style
 logical snapshots, abort = file cleanup).
 
+The format is STREAMABLE in both directions: a Structured Streaming
+sink (:class:`BlocksStreamWriter`, exactly-once epoch commits) and a
+source (:class:`BlocksStreamReader`) that tails the table's snapshot
+log — each micro-batch emits the partitions newly introduced by
+snapshots since the last committed offset, skipping compaction
+rewrites, so a downstream pipeline can follow an encoded table the way
+it would follow an Iceberg/Delta table.
+
 Usage::
 
     from vcf2parquet_spark.datasource import register_data_source
@@ -45,6 +53,9 @@ Usage::
     df = (spark.read.format("vcfblocks")
           .option("columns", "lang,content").load(out))
     df2.write.format("vcfblocks").mode("append").save(out)
+    q = (spark.readStream.format("vcfblocks").load(out)    # tail it
+         .writeStream.format("memory").queryName("tail")
+         .option("checkpointLocation", cp).start())
 """
 
 from __future__ import annotations
@@ -60,6 +71,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -163,34 +175,131 @@ class BlocksReader(DataSourceReader):
         return [InputPartition(tbl.data_path(path, pid)) for pid in keep]
 
     def read(self, partition: InputPartition) -> Iterator["pa.RecordBatch"]:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return _read_blocks_file(partition.value, self._cols)
 
-        import vcf2parquet_spark._alloc  # noqa: F401 (worker mallopt)
-        from vcf2parquet_spark.encode import _pin_arrow
-        from vcf2parquet_spark.kernels import decode_column
-        _pin_arrow(2)
 
-        cols = self._cols
-        t = pq.read_table(
-            partition.value,
-            columns=["block_idx", "column", "meta", "data"],
-            filters=[("column", "in", cols)])
-        bidx = t.column("block_idx").to_numpy()
-        names = t.column("column").to_pylist()
-        metas = t.column("meta").to_pylist()
-        # zero-copy payload views (see decode._decode_files for the
-        # large_binary-before-combine rationale)
-        data_arr = t.column("data").cast(pa.large_binary()).combine_chunks()
-        blocks: dict[int, dict] = {}
-        for i in range(len(bidx)):
-            blocks.setdefault(int(bidx[i]), {})[names[i]] = (
-                memoryview(data_arr[i].as_buffer()), metas[i])
-        for bi in sorted(blocks):
-            by_col = blocks[bi]
-            yield pa.record_batch(
-                {c: decode_column(by_col[c][0], json.loads(by_col[c][1]))
-                 for c in cols})
+def _read_blocks_file(path: str, cols: list[str]
+                      ) -> Iterator["pa.RecordBatch"]:
+    """Decode one committed blocks file into RecordBatches — the shared
+    executor-side read for the batch and streaming readers (same
+    zero-shuffle shape as ``decode()``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import vcf2parquet_spark._alloc  # noqa: F401 (worker mallopt)
+    from vcf2parquet_spark.encode import _pin_arrow
+    from vcf2parquet_spark.kernels import decode_column
+    _pin_arrow(2)
+
+    t = pq.read_table(
+        path,
+        columns=["block_idx", "column", "meta", "data"],
+        filters=[("column", "in", cols)])
+    bidx = t.column("block_idx").to_numpy()
+    names = t.column("column").to_pylist()
+    metas = t.column("meta").to_pylist()
+    # zero-copy payload views (see decode._decode_files for the
+    # large_binary-before-combine rationale)
+    data_arr = t.column("data").cast(pa.large_binary()).combine_chunks()
+    blocks: dict[int, dict] = {}
+    for i in range(len(bidx)):
+        blocks.setdefault(int(bidx[i]), {})[names[i]] = (
+            memoryview(data_arr[i].as_buffer()), metas[i])
+    for bi in sorted(blocks):
+        by_col = blocks[bi]
+        yield pa.record_batch(
+            {c: decode_column(by_col[c][0], json.loads(by_col[c][1]))
+             for c in cols})
+
+
+class BlocksStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("vcfblocks").load(out)`` — tail an
+    encoded table as a Structured Streaming source, the read half of
+    the streaming story (the sink half is :class:`BlocksStreamWriter`).
+
+    The snapshot log IS the offset axis (the Iceberg/Delta streaming
+    model): an offset is ``{"snapshot_id": S}`` = "every row-carrying
+    partition first referenced by snapshots <= S has been emitted".
+    Each micro-batch plans the partitions FIRST introduced by snapshots
+    in ``(start, end]`` — one :class:`InputPartition` per blocks file,
+    decoded executor-side by the same shared read as the batch reader,
+    zero shuffle, no driver data path.
+
+    Semantics (append-only stream, the Iceberg streaming-read model):
+
+    * ``encode`` / ``append`` / ``overwrite`` / ``stream_epoch``
+      snapshots carry their NEW partitions' rows downstream;
+    * ``compact`` snapshots are pure rewrites of already-emitted rows —
+      their partitions are skipped (never re-emitted);
+    * ``overwrite`` emits the newly written rows only; rows it removed
+      from the live set are NOT retracted (no changelog mode).
+    * Partitions committed by a crashed/in-flight run (manifest present,
+      no snapshot yet) are emitted once the next snapshot adopts them.
+
+    Exactly-once: offsets live in the query's checkpoint; a replayed
+    range re-plans the identical partition list because the snapshot
+    log is immutable and part ids are never reused.  Retention caveat
+    (standard for log-tailing sources): ``expire_snapshots`` must keep
+    the snapshots past the slowest reader's committed offset, or a
+    restart inside the expired range raises on the missing files
+    rather than silently skipping rows.
+
+    Options: ``columns`` (pruning, same as batch), ``startingOffsets``
+    = ``earliest`` (default: emit the whole existing table first) |
+    ``latest`` (only snapshots committed after the query starts).
+    """
+
+    def __init__(self, schema, options: dict) -> None:
+        from vcf2parquet_spark.errors import StorageError
+
+        path = options.get("path")
+        if not path:
+            raise StorageError("vcfblocks: .load(<table path>) is required")
+        self._path = path
+        self._cols = [f.name for f in schema.fields]
+        start = str(options.get("startingOffsets", "earliest")).lower()
+        if start not in ("earliest", "latest"):
+            raise StorageError(
+                f"vcfblocks: startingOffsets must be 'earliest' or "
+                f"'latest', got {start!r}")
+        self._start_latest = start == "latest"
+
+    def _current(self) -> dict:
+        snaps = tbl.snapshots(self._path)
+        return {"snapshot_id": snaps[-1]["snapshot_id"] if snaps else -1}
+
+    def initialOffset(self) -> dict:
+        return self._current() if self._start_latest \
+            else {"snapshot_id": -1}
+
+    def latestOffset(self) -> dict:
+        return self._current()
+
+    def partitions(self, start: dict, end: dict
+                   ) -> Sequence[InputPartition]:
+        lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        new: list[int] = []
+        seen: set[int] = set()
+        for s in tbl.snapshots(self._path):   # oldest first
+            sid = s["snapshot_id"]
+            if sid > hi:
+                break
+            for p in s["part_ids"]:
+                if p in seen:
+                    continue
+                seen.add(p)
+                if sid > lo and s["operation"] != "compact":
+                    new.append(p)
+        return [InputPartition(tbl.data_path(self._path, p))
+                for p in sorted(new)]
+
+    def read(self, partition: InputPartition
+             ) -> Iterator["pa.RecordBatch"]:
+        return _read_blocks_file(partition.value, self._cols)
+
+    def commit(self, end: dict) -> None:
+        # progress lives in the query checkpoint; nothing to clean up
+        pass
 
 
 @dataclass
@@ -504,6 +613,9 @@ class BlocksDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite: bool) -> BlocksStreamWriter:
         return BlocksStreamWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema) -> BlocksStreamReader:
+        return BlocksStreamReader(schema, self.options)
 
 
 def register_data_source(spark) -> None:
