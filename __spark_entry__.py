@@ -528,6 +528,41 @@ def q_datasource_write(spark, sf_dir):
     return _roundtrip_matched(df, dec(spark, out))
 
 
+def q_datasource_stream(spark, sf_dir):
+    """The STREAMING-source half of the data source: the encoded
+    corpus-shaped documents table (one deliberately duplicated row)
+    tailed with ``spark.readStream.format("vcfblocks")`` — offsets are
+    snapshot ids, each micro-batch decodes the partitions new snapshots
+    introduced — through an availableNow trigger into a memory sink,
+    then sha256 MULTISET-matched against the input.  n_matched ==
+    count(*) + 1 iff every row arrives through the streaming read path
+    exactly once and bit-identical."""
+    import tempfile
+    import uuid
+
+    from vcf2parquet_spark import encode
+    from vcf2parquet_spark.datasource import register_data_source
+
+    register_data_source(spark)
+    base = tempfile.mkdtemp(prefix="vp_entry_dst_")
+    out, cp = base + "/blocks", base + "/cp"
+    df = _doc(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+    df = df.unionByName(df.filter(F.col("path") == "0"))  # injected dup
+    encode(spark, df, out, batch_size=1000, target_rows=1000)
+    name = "vp_tail_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.format("vcfblocks").load(out)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", cp)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return _roundtrip_matched(df, spark.table(name))
+
+
 def q_media_features(spark, sf_dir):
     """Feature-extraction pipeline, projected to scalar rows: the
     float32 histogram feature is de-normalized back to its exact
@@ -613,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datasource_read": q_datasource_read,
         "datasource_pushdown": q_datasource_pushdown,
         "datasource_write": q_datasource_write,
+        "datasource_stream": q_datasource_stream,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
@@ -1088,6 +1124,11 @@ def oracle_sql() -> dict[str, str]:
         # identical guarantee through df.write.format("vcfblocks") —
         # the standard-API write path (multiset, injected dup)
         "datasource_write": """
+            SELECT CAST(count(*) + 1 AS BIGINT) AS n_matched FROM documents
+        """,
+        # datasource_stream MULTISET-compares the streamed rows vs the
+        # input the same way; identical bound
+        "datasource_stream": """
             SELECT CAST(count(*) + 1 AS BIGINT) AS n_matched FROM documents
         """,
         # vcfblocks data source read (columns-pruned): per-lang counts +
