@@ -34,6 +34,24 @@ def _tokens(col):
     return F.split(F.lower(col), r"\s+")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition BEFORE a high-amplification explode when
+    the scan has fewer splits than the cluster has task slots.
+
+    An explode multiplies row volume ~1000x (tokens/shingles per doc),
+    so a scan whose parallelism is file-layout-bound (one small file =
+    one task, however many cores are idle) serializes the expensive
+    hash/agg work.  Shuffling the PRE-explode rows is cheap (they are
+    the small side by the same factor).  At real scale this is a no-op:
+    a 100 TB table has orders of magnitude more splits than slots, so
+    the condition never fires and no shuffle is added.
+    """
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 key_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min key) per exact text; adds group size.
@@ -81,7 +99,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # (and the k hashes per row) for free — no extra shuffle
     shingles = F.array_distinct(F.transform(idx, lambda i: F.array_join(
         F.slice(toks, i + 1, shingle), " ")))
-    exploded = (df.select(key_col, F.explode(shingles).alias("shingle")))
+    exploded = (_spread(df)
+                .select(key_col, F.explode(shingles).alias("shingle")))
     if hash_fn == "md5":
         aggs = [F.min(F.md5(F.concat(F.lit(str(i) + "|"),
                                      F.col("shingle")))).alias(f"sig_{i}")
@@ -112,16 +131,19 @@ def lsh_candidates(sigs: DataFrame, key_col: str = "doc_id",
     """
     sig_cols = [c for c in sigs.columns if c.startswith("sig_")]
     assert len(sig_cols) >= bands * rows_per_band
-    band_rows = []
-    for b in range(bands):
-        cols = sig_cols[b * rows_per_band:(b + 1) * rows_per_band]
-        band_rows.append(sigs.select(
-            F.col(key_col),
+    # ONE scan of sigs: each row emits its `bands` (band, bucket)
+    # structs from an in-codegen array explode.  (The union-of-selects
+    # alternative plans `bands` branches — `bands` scans of the
+    # upstream, or at best one exchange reused and the rest recomputed.)
+    band_structs = F.array(*[
+        F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*cols).alias("bucket")))
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+            F.xxhash64(*sig_cols[b * rows_per_band:
+                                 (b + 1) * rows_per_band]).alias("bucket"))
+        for b in range(bands)])
+    buckets = (sigs.select(F.col(key_col), F.explode(band_structs)
+                           .alias("bb"))
+               .select(key_col, "bb.band", "bb.bucket"))
     # Pre-drop over-cap (band, bucket) keys with a distinct-count
     # aggregate + broadcast anti-join BEFORE collect_set, so a
     # boilerplate mega-bucket never materializes as one giant array in
@@ -170,8 +192,8 @@ def simhash(df: DataFrame, text_col: str = "text",
     Explode → single groupBy with ``bits`` conditional-sum aggregates.
     """
     toks = _tokens(F.col(text_col))
-    exploded = df.select(key_col, F.explode(toks).alias("tok")) \
-                 .withColumn("h", F.md5(F.col("tok")))
+    exploded = _spread(df).select(key_col, F.explode(toks).alias("tok")) \
+                          .withColumn("h", F.md5(F.col("tok")))
     aggs = [
         F.when(
             F.sum(F.when(F.substring("h", i + 1, 1)
@@ -208,8 +230,8 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     shingles = F.array_distinct(F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
-    sh = df.select(F.col(key_col), F.explode(shingles).alias("sh"),
-                   F.size(shingles).alias("n_sh"))
+    sh = _spread(df).select(F.col(key_col), F.explode(shingles).alias("sh"),
+                            F.size(shingles).alias("n_sh"))
     if max_postings is not None:
         hot = (sh.groupBy("sh")
                .agg(F.count("*").alias("_df"))
