@@ -156,3 +156,33 @@ def test_dedup_clusters_raises_on_budget_exhausted(spark):
                                   "left_id long, right_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(pairs, max_iter=1)
+
+
+def test_spread_repartitions_small_scans_only(spark):
+    """The pre-explode spread: a 1-split input gains a round-robin
+    exchange (the expensive hash work must not serialize on one task
+    slot), while an input already at >= defaultParallelism splits
+    keeps its partitioning — no shuffle added at scale."""
+    from vcf2parquet_spark.functions.dedup import minhash_signatures
+    slots = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(40)],
+        "doc_id long, text string")
+
+    def phys(df) -> str:
+        return df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution
+            .ExplainMode.fromString("simple"))
+
+    narrow = docs.coalesce(1)
+    sigs = minhash_signatures(narrow, k=4)
+    assert "RoundRobinPartitioning" in phys(sigs)
+
+    wide = docs.repartition(slots * 2)
+    plan = phys(minhash_signatures(wide, k=4))
+    # exactly the caller's one repartition — _spread added nothing
+    assert plan.count("RoundRobinPartitioning") == 1
+    # values are identical either way (spread is a pure plan change)
+    a = {tuple(r) for r in sigs.collect()}
+    b = {tuple(r) for r in minhash_signatures(wide, k=4).collect()}
+    assert a == b
