@@ -288,14 +288,27 @@ def main() -> None:
     extras["host_window"] = host_probe((CPUS,), rounds=1)[str(CPUS)]
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    line = {
         "metric": "encode+decode+query suite wall time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf(),
         **extras,
-    }))
+    }
+    print(json.dumps(line))
+    # rolling history: one JSON line per completed run, so any single
+    # run (e.g. the driver's per-round sample) can be read against the
+    # distribution — the host throttles in multi-minute windows and the
+    # same binary measures 13.8s..23.9s suites; compare at comparable
+    # host_window values (BENCH/HISTORY.jsonl is committed per round)
+    try:
+        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "HISTORY.jsonl")
+        with open(hist, "a") as f:
+            f.write(json.dumps({"wall_clock": time.time(), **line}) + "\n")
+    except OSError:
+        pass
 
 
 def host_probe(levels: tuple[int, ...], rounds: int = 3) -> dict:
