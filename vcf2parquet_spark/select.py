@@ -75,6 +75,13 @@ DEFAULT_RESIDUAL = "zlib"
 # and keeps them under either setting; long_strings="fsst" restores the
 # round-1..3 behavior per job via EncodeOptions / CLI --long-strings.
 LONG_STRING = 256        # mean bytes/value
+# Round-5 re-probe at REAL block granularity (2500-row ≈ 2.3 MB blocks
+# of bench content): zstd-15 compresses 2.9% smaller than brotli-9 but
+# at 1.9x the encode cost (18.8 vs 36.4 MB/s/core); at whole-buffer
+# granularity the gap misleadingly widens to 7.7% (window effects).  A
+# ratio-for-speed trade, not a both-axes win, so brotli-9 stays the
+# default; footprint-first jobs get it per column via
+# ``codec_overrides={"content": "plain+zstd15"}``.
 LONG_RESIDUAL = "brotli9"  # level pinned in the name (deterministic bytes)
 
 
