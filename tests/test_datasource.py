@@ -94,8 +94,9 @@ def test_filter_pushdown_prunes_partitions(spark, blocks):
     assert 0 < len(pruned) < n_parts_total
 
     # non-prunable filters are passed through untouched and harmless
+    from pyspark.sql.datasource import StringContains
     r2 = ds.reader(full.schema)
-    lo2 = list(r2.pushFilters([StringStartsWith(("repo",), "x")]))
+    lo2 = list(r2.pushFilters([StringContains(("repo",), "x")]))
     assert len(lo2) == 1
     assert len(r2.partitions()) == n_parts_total
 
@@ -141,3 +142,57 @@ def test_errors(spark, blocks, tmp_path):
     assert "nope" in str(ei.value)
     with pytest.raises(Exception):
         spark.read.format("vcfblocks").load(str(tmp_path / "empty")).schema
+
+
+def test_pushdown_in_null_and_prefix(spark, tmp_path):
+    """Round-5 pruning breadth: IN / IS [NOT] NULL / prefix filters
+    prune at the manifest level (value bounds + null counts), and
+    results stay exact because Spark re-evaluates every filter."""
+    from pyspark.sql.datasource import (
+        In, IsNotNull, IsNull, StringStartsWith)
+
+    out = str(tmp_path / "pf_blocks")
+    a = spark.createDataFrame(
+        [(f"aaa/r{i}", f"src/f{i}.py", "c0", None, f"print({i})")
+         for i in range(200)],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    b = spark.createDataFrame(
+        [(f"zzz/r{i}", f"src/g{i}.py", "c1", "python", f"x = {i}")
+         for i in range(200)],
+        "repo string, path string, commit string, lang string, "
+        "content string")
+    job_a = encode(spark, a, out, target_rows=100)
+    encode(spark, b, out, target_rows=100,
+           part_id_offset=job_a["n_partitions"])
+    register_data_source(spark)
+    full = spark.read.format("vcfblocks").load(out)
+    n_total = len(BlocksDataSource({"path": out})
+                  .reader(full.schema).partitions())
+    assert n_total >= 2
+
+    def n_parts(*filters):
+        r = BlocksDataSource({"path": out}).reader(full.schema)
+        leftover = list(r.pushFilters(list(filters)))
+        assert len(leftover) == len(filters)   # all re-checked by Spark
+        return len(r.partitions())
+
+    half = n_total // 2
+    # IN: no listed repo can live in the aaa/* partitions' bounds
+    # (r0/r99 straddle the zzz range split, so both zzz parts survive)
+    assert n_parts(In(("repo",), ("zzz/r0", "zzz/r99"))) == half
+    # a single value prunes below the bounds-only half too
+    assert 1 <= n_parts(In(("repo",), ("zzz/r0",))) <= half
+    assert n_parts(In(("repo",), ())) == 0     # empty IN matches nothing
+    # IS NULL / IS NOT NULL via per-partition null counts
+    assert n_parts(IsNull(("lang",))) == half
+    assert n_parts(IsNotNull(("lang",))) == half
+    # LIKE 'zzz%' prefix via string bounds
+    assert n_parts(StringStartsWith(("repo",), "zzz")) == half
+    assert n_parts(StringStartsWith(("repo",), "aaa")) == half
+    assert n_parts(StringStartsWith(("repo",), "mmm")) == 0
+
+    # end-to-end exactness through the format
+    assert full.filter(F.col("lang").isNull()).count() == 200
+    assert full.filter(F.col("repo").startswith("zzz")).count() == 200
+    assert full.filter(F.col("repo").isin("zzz/r5", "aaa/r5")).count() == 2

@@ -7,8 +7,9 @@ first-class format for EVERY consumer (``spark.read.format("vcfblocks")
 
 * **Partition-filter pushdown** (``DataSourceReader.pushFilters``,
   4.1.0): Catalyst hands the scan its conjunctive filters; bounds-
-  checkable ones (``== < <= > >=`` on profiled columns) prune whole
-  committed partitions via the manifest min/max bounds — the same
+  checkable ones (``== < <= > >= <=> IN``, ``LIKE 'p%'`` prefixes via
+  min/max, ``IS [NOT] NULL`` via the manifests' null counts) prune
+  whole committed partitions via the manifest statistics — the same
   Iceberg-style plan as :func:`vcf2parquet_spark.decode.
   plan_decode_parts` — before a single block byte is read.  All
   filters are returned to Spark for exact row-level re-evaluation
@@ -72,13 +73,18 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 
@@ -91,10 +97,12 @@ if TYPE_CHECKING:  # pragma: no cover
 FORMAT_NAME = "vcfblocks"
 
 # Filter dataclass -> the manifest bounds-check op it prunes with.
-# Everything else (In, IsNull, StringStartsWith, Not, ...) is simply
-# not prunable here and is left entirely to Spark's row-level pass.
+# Everything else (Not, StringEndsWith/Contains, ...) is simply not
+# prunable here and is left entirely to Spark's row-level pass.
 _FILTER_OPS = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
-               LessThan: "<", LessThanOrEqual: "<="}
+               LessThan: "<", LessThanOrEqual: "<=",
+               In: "in", StringStartsWith: "startswith",
+               IsNull: "isnull", IsNotNull: "notnull"}
 
 
 def _plan(options: dict) -> tuple[dict, list[str], list[str]]:
@@ -162,7 +170,13 @@ class BlocksReader(DataSourceReader):
         for f in filters:
             op = _FILTER_OPS.get(type(f))
             if op is not None and len(f.attribute) == 1:
-                self._pruning.append((f.attribute[0], op, f.value))
+                value = getattr(f, "value", None)   # Is(Not)Null: none
+                self._pruning.append((f.attribute[0], op, value))
+            elif (isinstance(f, EqualNullSafe) and len(f.attribute) == 1):
+                # x <=> NULL is IsNull; x <=> v is == (nulls never match)
+                self._pruning.append(
+                    (f.attribute[0],
+                     "isnull" if f.value is None else "==", f.value))
         return list(filters)
 
     def partitions(self) -> Sequence[InputPartition]:
@@ -175,6 +189,11 @@ class BlocksReader(DataSourceReader):
         return [InputPartition(tbl.data_path(path, pid)) for pid in keep]
 
     def read(self, partition: InputPartition) -> Iterator["pa.RecordBatch"]:
+        # partitions() may prune to ZERO files (e.g. a filter outside
+        # every manifest's bounds); Spark then schedules one task with
+        # partition=None — an empty scan, not an error
+        if partition is None:
+            return iter(())
         return _read_blocks_file(partition.value, self._cols)
 
 
@@ -295,6 +314,8 @@ class BlocksStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition
              ) -> Iterator["pa.RecordBatch"]:
+        if partition is None:     # empty micro-batch (see BlocksReader)
+            return iter(())
         return _read_blocks_file(partition.value, self._cols)
 
     def commit(self, end: dict) -> None:

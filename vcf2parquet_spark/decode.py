@@ -42,11 +42,30 @@ _SPARK_TYPES = {
 
 def _part_may_match(manifest: dict, col: str, op: str, value) -> bool:
     """Iceberg-style bounds check: can this partition contain rows
-    matching ``col op value``?  Missing bounds -> conservatively True."""
+    matching ``col op value``?  Missing stats -> conservatively True."""
     prof = manifest.get("profiles", {}).get(col, {})
+    # null-count ops read (n, n_nulls), not the value bounds
+    if op == "isnull":
+        nn = prof.get("n_nulls")
+        return True if nn is None else nn > 0
+    if op == "notnull":
+        n, nn = prof.get("n"), prof.get("n_nulls")
+        return True if n is None or nn is None else (n - nn) > 0
     lo, hi = prof.get("min"), prof.get("max")
     if lo is None or hi is None:
         return True
+    if op == "in":
+        # a NULL in the list never equals anything; an empty/all-null
+        # list correctly prunes every partition (Spark still evaluates
+        # the filter row-level, so the empty result is exact)
+        return any(lo <= v <= hi for v in value if v is not None)
+    if op == "startswith":
+        # exact: a prefix-`value` string exists in [lo, hi] iff hi can
+        # reach the prefix AND lo does not already exceed every string
+        # carrying it (when lo's own prefix == value, lo itself
+        # qualifies) — no prefix-increment needed
+        p = str(value)
+        return str(hi) >= p and str(lo)[: len(p)] <= p
     if op == "==":
         return lo <= value <= hi
     if op == "<=":
