@@ -196,3 +196,14 @@ def test_pushdown_in_null_and_prefix(spark, tmp_path):
     assert full.filter(F.col("lang").isNull()).count() == 200
     assert full.filter(F.col("repo").startswith("zzz")).count() == 200
     assert full.filter(F.col("repo").isin("zzz/r5", "aaa/r5")).count() == 2
+
+    # the same ops through decode(filters=...) — shared _part_may_match
+    assert decode(spark, out,
+                  filters=[("lang", "isnull", None)]).count() == 200
+    assert decode(spark, out,
+                  filters=[("lang", "notnull", None)]).count() == 200
+    assert decode(spark, out,
+                  filters=[("repo", "startswith", "zzz")]).count() == 200
+    assert decode(spark, out,
+                  filters=[("repo", "in", ("zzz/r5", "aaa/r5"))]).count() == 2
+    assert decode(spark, out, filters=[("repo", "in", ())]).count() == 0

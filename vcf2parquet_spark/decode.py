@@ -121,8 +121,9 @@ def decode(spark: SparkSession, output: str,
     ``VERSION AS OF`` analogue over the snapshot log in ``table.py``.
 
     ``filters`` — list of ``(column, op, value)`` with op in
-    ``== <= < >= > between`` — prunes whole partitions via the
-    manifest min/max bounds (see :func:`plan_decode_parts`) and then
+    ``== <= < >= > between in isnull notnull startswith`` (value is
+    ignored for the null ops; pass None) — prunes whole partitions via
+    the manifest statistics (see :func:`plan_decode_parts`) and then
     applies the exact row-level predicate.
     """
     import os
@@ -252,6 +253,10 @@ _OPS = {
     "<": lambda c, v: c < v,
     ">=": lambda c, v: c >= v,
     ">": lambda c, v: c > v,
+    "in": lambda c, v: c.isin(*list(v)) if len(v) else F.lit(False),
+    "isnull": lambda c, v: c.isNull(),
+    "notnull": lambda c, v: c.isNotNull(),
+    "startswith": lambda c, v: c.startswith(v),
 }
 
 
