@@ -528,6 +528,27 @@ def q_datasource_write(spark, sf_dir):
     return _roundtrip_matched(df, dec(spark, out))
 
 
+def q_datasource_prune_ops(spark, sf_dir):
+    """Round-5 pushdown breadth through the data source: Catalyst hands
+    the scan ``repo IN (...) AND path LIKE '1%' AND lang IS NOT NULL``;
+    ``pushFilters`` answers IN and the LIKE-prefix from the manifest
+    min/max bounds and IS NOT NULL from the per-partition null counts,
+    pruning committed partitions before any block byte is read, and
+    Spark re-applies the exact predicates on decoded rows (partial
+    pushdown, the Iceberg model) — so the aggregate must equal DuckDB
+    computing the same predicate over the raw documents."""
+    from vcf2parquet_spark.datasource import read_blocks
+
+    out = _entry_corpus_blocks(spark, sf_dir, "vp_entry_dsp_")
+    ds = read_blocks(spark, out)
+    return (ds.filter(F.col("repo").isin("src1", "src7", "src12"))
+            .filter(F.col("path").startswith("1"))
+            .filter(F.col("lang").isNotNull())
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.length("content")).cast("long")
+                  .alias("total_chars")))
+
+
 def q_datasource_stream(spark, sf_dir):
     """The STREAMING-source half of the data source: the encoded
     corpus-shaped documents table (one deliberately duplicated row)
@@ -647,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustered_roundtrip": q_clustered_roundtrip,
         "datasource_read": q_datasource_read,
         "datasource_pushdown": q_datasource_pushdown,
+        "datasource_prune_ops": q_datasource_prune_ops,
         "datasource_write": q_datasource_write,
         "datasource_stream": q_datasource_stream,
         "media_features": q_media_features,
@@ -1146,6 +1168,16 @@ def oracle_sql() -> dict[str, str]:
                             - length(replace(text, chr(10), '')) + 1)
                         AS BIGINT) AS total_lines
             FROM documents WHERE strlen(text) > 300
+        """,
+        # vcfblocks pushdown breadth (round 5): IN + prefix + IS NOT
+        # NULL answered from manifest stats; exact predicate re-applied
+        "datasource_prune_ops": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE source IN ('src1', 'src7', 'src12')
+              AND CAST(doc_id AS VARCHAR) LIKE '1%'
+              AND lang IS NOT NULL
         """,
     } | {"ann_buckets": _ann_buckets_sql(),
          "embedding_near_dups": _near_dups_sql()}
