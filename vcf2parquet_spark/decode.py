@@ -52,7 +52,9 @@ def _part_may_match(manifest: dict, col: str, op: str, value) -> bool:
         n, nn = prof.get("n"), prof.get("n_nulls")
         return True if n is None or nn is None else (n - nn) > 0
     lo, hi = prof.get("min"), prof.get("max")
-    if lo is None or hi is None:
+    if lo is None or hi is None or value is None:
+        # no bounds, or a NULL comparand (x op NULL matches no row, but
+        # pruning must stay conservative — Spark's row pass settles it)
         return True
     if op == "in":
         # a NULL in the list never equals anything; an empty/all-null

@@ -46,6 +46,8 @@ def _spread(df: DataFrame) -> DataFrame:
     a 100 TB table has orders of magnitude more splits than slots, so
     the condition never fires and no shuffle is added.
     """
+    if df.isStreaming:      # no .rdd on streaming plans; micro-batch
+        return df           # parallelism is the source's business
     slots = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < slots:
         return df.repartition(slots)
