@@ -498,8 +498,12 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
       renames; the epoch's snapshot de-dupes itself
       (``commit_snapshot`` no-ops when the live set is unchanged);
     * failed/speculative task attempts stage under distinct uuids and
-      only the reported attempt is adopted; :meth:`abort` and query
-      start purge staging (single-writer protocol, as everywhere).
+      only the reported attempt is adopted; :meth:`commit` drains the
+      whole staging root after its renames (which also reclaims any
+      earlier crashed epoch's leftovers), :meth:`abort` removes the
+      attempts it was told about — neither runs at query start, since
+      Spark instantiates this writer more than once per query (see the
+      ``__init__`` note); single-writer protocol, as everywhere.
     """
 
     def __init__(self, schema, options: dict, overwrite: bool) -> None:
