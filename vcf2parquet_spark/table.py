@@ -16,6 +16,15 @@ committed partition (exact resume, north rule).  This generalizes the
 reference's one-writer commit (`/root/reference/src/lib.rs:55-64`:
 ArrowWriter close = the only commit point) to a distributed setting.
 
+Metadata-scale note: driver planning (``committed_parts``) reads one
+small JSON per partition — O(partitions) metadata IO, the flat-file
+stand-in for Iceberg's manifest *lists* (which amortize exactly this
+by grouping manifest entries into indexed avro files).  On the real
+cluster this layer IS Iceberg (the swap above), whose manifest lists
+and metadata caching make planning O(matching manifests), not
+O(partitions); the flat layout keeps the sandbox implementation
+crash-semantics-equivalent and byte-auditable.
+
 Blocks table schema (the analogue of the reference's Parquet row groups,
 one row here = one column × one row-batch):
 
