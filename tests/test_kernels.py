@@ -384,3 +384,40 @@ def test_list_str_roundtrip_hypothesis(xs):
     codec = choose_codec(profile_arrow(arr, "c"))
     out = decode_column(*encode_column(arr, codec))
     assert _bit_equal(arr, out), codec
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="abcz/", min_size=0, max_size=6),
+                min_size=1, max_size=12),
+       st.text(alphabet="abcz/", min_size=0, max_size=4))
+def test_startswith_prune_never_drops_matches(values, prefix):
+    """_part_may_match('startswith'): whenever the bounds check says
+    'cannot match', NO value in the partition starts with the prefix
+    (soundness — the side that loses rows).  The check is also exact
+    w.r.t. bounds: if every value in [lo, hi] order COULD be there,
+    a false only happens when no prefix-p string fits the interval."""
+    from vcf2parquet_spark.decode import _part_may_match
+
+    lo, hi = min(values), max(values)
+    m = {"profiles": {"c": {"min": lo, "max": hi}}}
+    may = _part_may_match(m, "c", "startswith", prefix)
+    if not may:
+        assert not any(v.startswith(prefix) for v in values)
+    # exactness against the bounds themselves: construct a witness set
+    # containing a prefix-p member inside [lo, hi] -> must stay True
+    if lo <= prefix <= hi:
+        assert may
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-50, max_value=50),
+                min_size=1, max_size=12),
+       st.lists(st.one_of(st.none(),
+                          st.integers(min_value=-60, max_value=60)),
+                max_size=4))
+def test_in_prune_never_drops_matches(values, probe):
+    from vcf2parquet_spark.decode import _part_may_match
+
+    m = {"profiles": {"c": {"min": min(values), "max": max(values)}}}
+    if not _part_may_match(m, "c", "in", tuple(probe)):
+        assert not any(v in values for v in probe if v is not None)
