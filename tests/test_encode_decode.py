@@ -651,3 +651,83 @@ def test_determinism_mixed_types_across_parallelism(spark, tmp_path):
             per_part[os.path.basename(f)] = h.hexdigest()
         digests.append(per_part)
     assert digests[0] == digests[1]
+
+
+def test_content_digest_chunk_invariant_and_backcompat():
+    """The chunk-streaming digest is bit-identical to the old
+    combine_chunks()+str_buffers whole-column hash (manifests written by
+    earlier versions keep verifying), whatever the chunk layout or
+    offset width — the rewrite exists so a >2 GiB partition content
+    column can't ArrowInvalid in combine_chunks."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vcf2parquet_spark.encode import _content_digest
+    from vcf2parquet_spark.kernels.codecs import str_buffers
+
+    vals = ["alpha", None, "", "beta\n" * 50, "γ unicode", "z" * 1000]
+    single = pa.table({"content": pa.array(vals, pa.string())})
+    chunked = pa.table({"content": pa.chunked_array(
+        [pa.array(vals[:2], pa.string()), pa.array([], pa.string()),
+         pa.array(vals[2:3], pa.string()), pa.array(vals[3:], pa.string())])})
+    large = pa.table({"content": pa.chunked_array(
+        [pa.array(vals[:4], pa.large_string()),
+         pa.array(vals[4:], pa.large_string())])})
+
+    # the pre-round-5 algorithm, reproduced verbatim
+    col = pc.fill_null(single.column("content").combine_chunks(), "")
+    data, offsets = str_buffers(col)
+    h = hashlib.sha256()
+    h.update(offsets.tobytes())
+    h.update(data.tobytes())
+    legacy = h.hexdigest()
+
+    assert _content_digest(single) == legacy
+    assert _content_digest(chunked) == legacy
+    assert _content_digest(large) == legacy
+
+
+def test_block_bounds_byte_cap():
+    """Blocks split early when one string column's payload would pass
+    block_bytes (kernel int32-framing safety); row-only batching is
+    byte-identical when no column crosses the cap (goldens pinned)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vcf2parquet_spark.encode import _block_bounds
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(0, 40, size=500)
+    vals = ["x" * int(k) if k else None for k in lens]
+    t = pa.table({"content": pa.array(vals, pa.string()),
+                  "n": pa.array(range(500), pa.int64())})
+
+    bounds = _block_bounds(t, batch_size=100, block_bytes=256)
+    assert bounds[0][0] == 0 and bounds[-1][1] == 500
+    assert all(bounds[i][1] == bounds[i + 1][0]
+               for i in range(len(bounds) - 1))
+    ln = np.where(lens > 0, lens, 0).astype(np.int64)
+    for lo, hi in bounds:
+        assert 1 <= hi - lo <= 100
+        assert ln[lo:hi].sum() <= 256 or hi - lo == 1
+
+    # fast path: cap not reached -> exactly the row-only bounds
+    assert _block_bounds(t, 100, 1 << 30) == [
+        (0, 100), (100, 200), (200, 300), (300, 400), (400, 500)]
+
+
+def test_block_bytes_split_roundtrip(spark, tmp_path):
+    """End-to-end with a tiny byte cap: blocks multiply, round-trip
+    stays sha256-identical (decode reassembles variable-size blocks)."""
+    from vcf2parquet_spark.corpus import synth_corpus
+
+    df = synth_corpus(spark, 300, seed=3, partitions=2)
+    out = str(tmp_path / "bb")
+    job = encode(spark, df, out, target_rows=200, block_bytes=4096)
+    assert job["n_rows"] == 300
+    parts = tbl.committed_parts(out)
+    assert max(m["n_blocks"] for m in parts.values()) > 1
+    res = verify(spark, df, out)
+    assert res["ok"], res

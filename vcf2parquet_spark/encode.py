@@ -150,6 +150,17 @@ class EncodeOptions:
                               # arena — best on local/NVMe), "pre_buffer"
                               # (coalesced range reads — best on object
                               # stores like S3), or "plain"
+    block_bytes: int = 1 << 30  # byte cap per block for any one string/
+                              # binary column: blocks are split early when
+                              # 100k rows of large source files would sum
+                              # past this, keeping every block inside the
+                              # kernels' int32 offset framing (a 2 GiB+
+                              # single-column block would ArrowInvalid in
+                              # combine_chunks — the failure class fixed
+                              # on the decode side).  Parquet sizes row
+                              # groups by bytes for the same reason.
+                              # Row-count-only batching is unchanged when
+                              # no column crosses the cap (goldens pinned).
 
 
 def _pin_arrow(n: int) -> None:
@@ -278,19 +289,62 @@ def _derive_int_columns(t: pa.Table) -> pa.Table:
     return t
 
 
+def _i32_safe_pieces(chunk: pa.Array):
+    """Yield slices of a large_string chunk that each cast safely to
+    32-bit-offset ``pa.string()``.  Plain string chunks pass through
+    whole (Arrow's own int32 framing already bounds them)."""
+    if not pa.types.is_large_string(chunk.type):
+        yield chunk
+        return
+    import numpy as np
+    ln = pc.coalesce(pc.binary_length(chunk).cast(pa.int64()),
+                     pa.scalar(0, pa.int64()))
+    cum = np.zeros(len(chunk) + 1, np.int64)
+    np.cumsum(ln.to_numpy(zero_copy_only=False), out=cum[1:])
+    cap = (1 << 31) - 8
+    lo = 0
+    while lo < len(chunk):
+        hi = int(np.searchsorted(cum, cum[lo] + cap, side="right")) - 1
+        hi = max(lo + 1, min(hi, len(chunk)))
+        yield chunk.slice(lo, hi - lo)
+        lo = hi
+
+
 def _content_digest(t: pa.Table) -> str:
     """sha256 of the sorted content column (offsets + bytes) — the
-    partition-level integrity check recorded in the manifest."""
+    partition-level integrity check recorded in the manifest.
+
+    Streams CHUNK-WISE: hashing the int64 offsets (rebased onto a
+    running total) of every chunk, then every chunk's data bytes,
+    produces bytes IDENTICAL to the old whole-column
+    ``combine_chunks()`` + ``str_buffers`` hash — but never builds one
+    contiguous array, so a partition whose content sums past 2 GiB no
+    longer overflows string int32 offsets in ``combine_chunks``
+    (ArrowInvalid — the same failure class fixed in decode.py's
+    large_binary cast).  Digests recorded by earlier versions verify
+    unchanged."""
     if "content" not in t.column_names:
         return ""
+    import numpy as np
     from vcf2parquet_spark.kernels.codecs import str_buffers
-    col = t.column("content").combine_chunks()
-    if col.null_count:
-        col = pc.fill_null(col, "")
-    data, offsets = str_buffers(col.cast(pa.string()))
+    col = t.column("content")
+    if isinstance(col, pa.Array):
+        col = pa.chunked_array([col])
     h = hashlib.sha256()
-    h.update(offsets.tobytes())
-    h.update(data.tobytes())
+    h.update(np.int64(0).tobytes())      # leading offsets[0] == 0
+    base = 0
+    datas = []
+    for chunk in col.chunks:
+        for piece in _i32_safe_pieces(chunk):
+            if piece.null_count:
+                piece = pc.fill_null(piece, "")
+            data, offsets = str_buffers(piece.cast(pa.string()))
+            h.update((offsets[1:] + base).tobytes())
+            if len(offsets) > 1:
+                base += int(offsets[-1])
+            datas.append(data)
+    for data in datas:                   # all offsets first, then all data
+        h.update(data)                   # ndarray buffer — no tobytes copy
     return h.hexdigest()
 
 
@@ -355,8 +409,9 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
     raw_total = 0
     enc_total = 0
     tk = time.time()
-    for b, lo in enumerate(range(0, n, opts.batch_size)):
-        chunk = t.slice(lo, opts.batch_size)
+    for b, (lo, hi) in enumerate(_block_bounds(t, opts.batch_size,
+                                               opts.block_bytes)):
+        chunk = t.slice(lo, hi - lo)
         for col in t.column_names:
             arr = chunk.column(col).combine_chunks()
             payload, meta = encode_column(arr, codecs[col])
@@ -410,6 +465,47 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
             "enc_bytes": enc_total, "n_blocks": n_blocks,
             "n_columns": len(t.column_names), "seconds": seconds,
             "status": "committed"}
+
+
+def _block_bounds(t: pa.Table, batch_size: int,
+                  block_bytes: int) -> list[tuple[int, int]]:
+    """(lo, hi) row bounds per encode block: ``batch_size`` rows, split
+    earlier wherever a single string/binary column's payload would
+    exceed ``block_bytes`` — every downstream consumer (combine_chunks
+    here, the kernels' checked-i32 list/string framing, decode's block
+    reassembly) assumes one block column fits 32-bit offsets, so blocks
+    must be bounded by BYTES, not just rows (100k rows of >10 KiB
+    source files blows the row-only bound).  Columns whose whole-unit
+    payload is under the cap — the overwhelmingly common case — cost
+    one vectorized length scan and leave the bounds untouched, so
+    existing goldens/digests are byte-identical."""
+    import numpy as np
+    n = t.num_rows
+    cums = []
+    for name in t.column_names:
+        c = t.column(name)
+        if (pa.types.is_string(c.type) or pa.types.is_large_string(c.type)
+                or pa.types.is_binary(c.type)
+                or pa.types.is_large_binary(c.type)):
+            ln = pc.coalesce(pc.binary_length(c).cast(pa.int64()),
+                             pa.scalar(0, pa.int64()))
+            cum = np.zeros(n + 1, np.int64)
+            np.cumsum(ln.to_numpy(zero_copy_only=False), out=cum[1:])
+            if int(cum[-1]) > block_bytes:  # can this column overflow at all?
+                cums.append(cum)
+    bounds = []
+    lo = 0
+    while lo < n:
+        hi = min(lo + batch_size, n)
+        for cum in cums:
+            if cum[hi] - cum[lo] > block_bytes:
+                h = int(np.searchsorted(cum, cum[lo] + block_bytes,
+                                        side="right")) - 1
+                hi = min(hi, max(lo + 1, h))  # ≥1 row: a single giant
+                #                               value can't be split
+        bounds.append((lo, hi))
+        lo = hi
+    return bounds
 
 
 def _raw_bytes(arr: pa.Array) -> int:
