@@ -731,3 +731,48 @@ def test_block_bytes_split_roundtrip(spark, tmp_path):
     assert max(m["n_blocks"] for m in parts.values()) > 1
     res = verify(spark, df, out)
     assert res["ok"], res
+
+
+def test_unit_large_string_ride_is_byte_transparent(tmp_path, monkeypatch):
+    """A work unit whose string column crosses INT32_SAFE_BYTES rides
+    large_string through sort/profile (64-bit offsets — the >2 GiB
+    combine/take/cast overflow class) and still produces byte-identical
+    block files and an identical manifest (modulo timings).  Threshold
+    monkeypatched down; the constant only switches representation."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    import vcf2parquet_spark.profile as prof
+    import vcf2parquet_spark.table as vtbl
+    from vcf2parquet_spark.encode import EncodeOptions, encode_partition
+
+    rng = np.random.default_rng(11)
+    n = 400
+    t = pa.table({
+        "repo": pa.array([f"r{i % 7}" for i in range(n)]),
+        "path": pa.array([f"src/f{rng.integers(0, 50)}.py" for _ in range(n)]),
+        "commit": pa.array([f"{i:040x}" for i in range(n)]),
+        "lang": pa.array(["py", "rs", "go", None][i % 4] for i in range(n)),
+        "content": pa.array(
+            ["def f():\n    pass\n" * int(rng.integers(1, 9))
+             for _ in range(n)]),
+    })
+    opts = EncodeOptions(sort_columns=("repo", "path"))
+    cols = list(t.column_names)
+
+    def run(out):
+        vtbl.init_layout(str(out))
+        m = encode_partition(0, t, str(out), opts, cols)
+        m.pop("metrics", None)
+        m.pop("seconds", None)
+        with open(vtbl.data_path(str(out), 0), "rb") as f:
+            return m, hashlib.sha256(f.read()).hexdigest()
+
+    m_small, h_small = run(tmp_path / "a")
+    monkeypatch.setattr(prof, "INT32_SAFE_BYTES", 1)
+    m_large, h_large = run(tmp_path / "b")
+
+    assert h_large == h_small
+    assert m_large == m_small

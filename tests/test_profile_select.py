@@ -113,3 +113,47 @@ def test_brotli9_cascade_roundtrip():
     for spec in ("plain+brotli9", "plain+zstd15"):
         p, m = encode_column(arr, spec)
         assert decode_column(p, m).equals(arr), spec
+
+
+def test_profile_large_offset_path_matches_small(monkeypatch):
+    """A string column at/over INT32_SAFE_BYTES is profiled through
+    large_string (64-bit offsets) — same stats as the int32 path.
+    Threshold monkeypatched down so the test doesn't allocate 2 GiB;
+    the real constant only changes WHICH arrow representation carries
+    the same bytes."""
+    import vcf2parquet_spark.profile as prof
+
+    chunks = pa.chunked_array([
+        pa.array(["def main():", "def main():", None, "x" * 300]),
+        pa.array(["import os", "import os", "import os"]),
+    ])
+    small = prof.profile_arrow(chunks, "content")
+
+    monkeypatch.setattr(prof, "INT32_SAFE_BYTES", 1)
+    large = prof.profile_arrow(chunks, "content")
+    assert large == small
+    # and a pre-combined large_string input under either threshold
+    monkeypatch.undo()
+    as_large = chunks.cast(pa.large_string()).combine_chunks()
+    assert prof.profile_arrow(as_large, "content") == small
+
+
+def test_entropy_sample_is_row_bounded(monkeypatch):
+    """Entropy reads only the row prefix covering the sample budget —
+    never the whole data buffer (which may exceed int32 offsets)."""
+    import vcf2parquet_spark.profile as prof
+
+    monkeypatch.setattr(prof, "ENTROPY_SAMPLE_BYTES", 8)
+    calls = []
+    orig = prof._entropy_sample
+
+    def spy(values):
+        out = orig(values)
+        calls.append(len(out))
+        return out
+
+    monkeypatch.setattr(prof, "_entropy_sample", spy)
+    arr = pa.array(["abcd", "efgh", "SHOULD-NOT-MATTER" * 100])
+    s = prof.profile_arrow(arr, "x")
+    assert calls == [8]          # exactly the sample budget, not nbytes
+    assert s["entropy"] > 0

@@ -279,11 +279,13 @@ def _derive_int_columns(t: pa.Table) -> pa.Table:
     """Derived integer columns -> exercises bit-pack / FOR (north rule)."""
     if "content" not in t.column_names:
         return t
+    # operate on the column as-is: binary_length/count_substring accept
+    # both string and large_string, and a down-cast here would overflow
+    # int32 offsets on a >2 GiB single-chunk column (post-sort take)
     content = t.column("content")
-    size_bytes = pc.binary_length(content.cast(pa.string())).cast(pa.int64())
+    size_bytes = pc.binary_length(content).cast(pa.int64())
     n_lines = pc.add(
-        pc.count_substring(content.cast(pa.string()), "\n").cast(pa.int64()),
-        1)
+        pc.count_substring(content, "\n").cast(pa.int64()), 1)
     t = t.append_column("size_bytes", size_bytes)
     t = t.append_column("n_lines", n_lines)
     return t
@@ -386,6 +388,17 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
             raise SchemaError(
                 f"nullable=False but partition {part_id} has NULLs in "
                 f"{sorted(bad)} (counts {bad})")
+    # Whole-unit ops below (sort take, profile combine) merge chunks;
+    # a string column summing past int32 offsets must ride large_string
+    # (64-bit offsets) through them.  Byte-transparent: the byte-capped
+    # blocks cast back down inside the kernels, and encode_column
+    # records type "string" for both representations.  Blocks keep the
+    # invariant via _block_bounds' block_bytes cap regardless.
+    from vcf2parquet_spark.profile import INT32_SAFE_BYTES
+    for i, c in enumerate(t.column_names):
+        col = t.column(c)
+        if pa.types.is_string(col.type) and col.nbytes >= INT32_SAFE_BYTES:
+            t = t.set_column(i, c, col.cast(pa.large_string()))
     sort_keys = [(c, "ascending") for c in opts.sort_columns
                  if c in t.column_names]
     if sort_keys and not already_sorted:

@@ -25,6 +25,15 @@ import pyarrow.compute as pc
 
 ENTROPY_SAMPLE_BYTES = 1 << 16
 PRUNE_MAX_LEN = 256   # record string min/max bounds only below this length
+# A combined string array with >= this many data bytes cannot be held in
+# 32-bit offsets; profile it through large_string (64-bit offsets)
+# instead.  profile_arrow sees the WHOLE work unit's column (encode
+# blocks are byte-capped downstream, the profile input is not), so a
+# unit whose content sums past 2 GiB must not go through
+# combine_chunks()/cast(string) — the int32-offset failure class fixed
+# in decode.py and encode._materialize.  Module constant so tests can
+# lower it and exercise the large path without allocating 2 GiB.
+INT32_SAFE_BYTES = (1 << 31) - (1 << 20)
 
 
 def _run_stats(codes: np.ndarray) -> tuple[int, float]:
@@ -51,10 +60,40 @@ def _byte_entropy(data: np.ndarray) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
+def _entropy_sample(values: pa.Array) -> np.ndarray:
+    """First ``ENTROPY_SAMPLE_BYTES`` of a string array's data buffer,
+    materializing only the row prefix that covers the sample — never the
+    whole column (whose data may exceed int32 offsets)."""
+    from vcf2parquet_spark.kernels.codecs import str_buffers
+    if len(values) == 0:
+        return np.zeros(0, np.uint8)
+    # rows needed to cover the sample: cumulative byte lengths
+    lens = pc.binary_length(values).cast(pa.int64()) \
+             .to_numpy(zero_copy_only=False)
+    k = int(np.searchsorted(np.cumsum(lens), ENTROPY_SAMPLE_BYTES)) + 1
+    prefix = values.slice(0, min(k, len(values)))
+    if isinstance(prefix, pa.ChunkedArray):
+        prefix = prefix.combine_chunks()
+    data, _off = str_buffers(prefix)
+    return data[:ENTROPY_SAMPLE_BYTES]
+
+
 def profile_arrow(arr: pa.Array, name: str = "") -> dict:
-    """Profile one column chunk (null-aware). JSON-able output."""
+    """Profile one column (null-aware). JSON-able output.
+
+    The input is the WHOLE work unit's column (unlike encode blocks it
+    is not byte-capped), so the string path must survive >2 GiB of
+    data: combine/cast through large_string (64-bit offsets) when the
+    payload is at/above ``INT32_SAFE_BYTES``, and sample entropy from a
+    bounded row prefix instead of the full data buffer.
+    """
     if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+        if ((pa.types.is_string(arr.type)
+             or pa.types.is_large_string(arr.type))
+                and arr.nbytes >= INT32_SAFE_BYTES):
+            arr = arr.cast(pa.large_string()).combine_chunks()
+        else:
+            arr = arr.combine_chunks()
     n = len(arr)
     n_null = arr.null_count
     stats: dict = {"column": name, "n": n, "n_nulls": int(n_null)}
@@ -62,15 +101,16 @@ def profile_arrow(arr: pa.Array, name: str = "") -> dict:
 
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         stats["type"] = "string"
-        values = values.cast(pa.string())
+        values = values.cast(
+            pa.large_string() if values.nbytes >= INT32_SAFE_BYTES
+            else pa.string())
         denc = pc.dictionary_encode(values)
         codes = denc.indices.to_numpy(zero_copy_only=False)
         n_distinct = len(denc.dictionary)
         lens = pc.utf8_length(values)
         raw_bytes = pc.binary_length(values)
         max_run, avg_run = _run_stats(codes)
-        from vcf2parquet_spark.kernels.codecs import str_buffers
-        data, _off = str_buffers(values) if len(values) else (np.zeros(0, np.uint8), None)
+        data = _entropy_sample(values)
         stats.update({
             "n_distinct": int(n_distinct),
             "distinct_ratio": float(n_distinct / max(1, len(values))),
