@@ -405,6 +405,15 @@ def build_table(data: np.ndarray, offsets: np.ndarray,
     (freq × length) of every seen symbol and of every concatenation of
     adjacent symbols (≤8 bytes, same string); keep the top-255.
     Deterministic: ties broken by (length, key).
+
+    NOT worth caching across blocks: measured 0.034 s of a 7.5 s
+    enc_fsst call on a 92 MB / 100k-row content block (0.5%) — the
+    sample is budget-bounded (SAMPLE_TARGET) so build cost is constant
+    per block while matching scales with block bytes.  A shared table
+    would save nothing and cost per-block compression (later blocks
+    encoded with another block's symbol distribution) plus cross-block
+    coupling in the decode path, where each block payload is
+    self-contained by design.
     """
     sdata, soffs = _sample(data, offsets)
     n = len(sdata)
