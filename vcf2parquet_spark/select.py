@@ -82,6 +82,13 @@ LONG_STRING = 256        # mean bytes/value
 # ratio-for-speed trade, not a both-axes win, so brotli-9 stays the
 # default; footprint-first jobs get it per column via
 # ``codec_overrides={"content": "plain+zstd15"}``.
+# Brotli QUALITY frontier on the same blocks (measured, per core):
+# q7 ratio 14.14 @ 80 MB/s, q8 14.97 @ 54, q9 15.38 @ 39, q10 16.14 @
+# 1.7 (q10 switches algorithms; never worth it here).  q9 is the knee:
+# one level down buys 1.38x speed for 2.6% footprint — with the bench
+# corpus at 0.446x of the snappy reference the headroom to the held
+# 0.46 bar is ~1%, so the default stays q9; throughput-first jobs get
+# ``codec_overrides={"content": "plain+brotli"}`` (unpinned = level 5).
 LONG_RESIDUAL = "brotli9"  # level pinned in the name (deterministic bytes)
 
 
