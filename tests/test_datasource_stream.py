@@ -92,22 +92,37 @@ def test_stream_sink_epochs_and_exactly_once(reg, tmp_path):
     assert want.exceptAll(ds).count() == 0
 
 
-def test_stream_sink_fresh_checkpoint_same_batch_overwrites(reg, tmp_path):
-    """Replaying batch 0 (fresh checkpoint, same input) recomputes the
-    same final part ids and overwrites in place — row count unchanged
-    (the replay-safety property behind exactly-once)."""
-    spark = reg
-    src = str(tmp_path / "src")
-    out = str(tmp_path / "blocks")
-    d = synth_corpus(spark, 300, seed=23, partitions=1)
-    d.write.parquet(src)
+def test_stream_sink_distinct_queries_do_not_clobber(reg, tmp_path):
+    """Two DIFFERENT streaming queries (fresh checkpoints) writing the
+    same table get disjoint part-id regions: both see batchId=0, so ids
+    derived from batchId alone would silently os.replace() the first
+    query's committed files (code-review r5).  Replay-safety — same
+    checkpoint recomputing the same ids — is per-query and covered by
+    test_stream_sink_epochs_and_exactly_once."""
+    import json as _json
 
-    for cp in ("cp_a", "cp_b"):       # two runs, both see batchId=0
+    from vcf2parquet_spark.datasource import QUERY_STRIDE
+
+    spark = reg
+    out = str(tmp_path / "blocks")
+    d1 = synth_corpus(spark, 300, seed=23, partitions=1)
+    d2 = (synth_corpus(spark, 200, seed=24, partitions=1)
+          .withColumn("repo", F.concat(F.lit("q2/"), F.col("repo"))))
+    for i, (cp, d) in enumerate([("cp_a", d1), ("cp_b", d2)]):
+        src = str(tmp_path / f"src{i}")
+        d.write.parquet(src)
         q = _start(spark, src, out, str(tmp_path / cp))
         try:
             q.processAllAvailable()
         finally:
             q.stop()
-    assert decode(spark, out).count() == 300
-    rep = tbl.snapshots(out)
-    assert rep[-1]["summary"]["n_rows"] == 300
+    got = decode(spark, out)
+    assert got.count() == 500                 # nothing overwritten
+    assert got.filter(F.col("repo").startswith("q2/")).count() == 200
+    # the queries occupy disjoint QUERY_STRIDE regions, recorded in the
+    # table's stream_bases registry keyed by checkpoint location
+    with open(os.path.join(out, "stream_bases.json")) as f:
+        bases = sorted(_json.load(f).values())
+    assert bases == [0, QUERY_STRIDE]
+    regions = {p // QUERY_STRIDE for p in tbl.committed_parts(out)}
+    assert regions == {0, 1}

@@ -139,3 +139,40 @@ def test_stream_reader_exactly_once_across_restart(reg, tmp_path):
 
     _run()                                            # nothing new
     assert spark.read.parquet(sink).count() == 600 + 150
+
+
+def test_stream_reader_raises_on_expired_offset(reg, tmp_path):
+    """If expire_snapshots removed the snapshot at a reader's committed
+    offset, restarting that reader must FAIL, not silently re-emit the
+    whole live set as duplicates — the data files still exist, so
+    nothing else would error (code-review r5)."""
+    from vcf2parquet_spark.table import expire_snapshots
+
+    spark = reg
+    out, cp = str(tmp_path / "blocks"), str(tmp_path / "cp")
+    sink = str(tmp_path / "sink")
+
+    def _run():
+        q = (spark.readStream.format("vcfblocks").load(out)
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    d1 = synth_corpus(spark, 400, seed=71)
+    encode(spark, d1, out)                       # snapshot 0
+    _run()                                       # offset -> snapshot 0
+    assert spark.read.parquet(sink).count() == 400
+
+    for seed in (72, 73):                        # snapshots 1, 2
+        synth_corpus(spark, 100, seed=seed) \
+            .write.format("vcfblocks").mode("append").save(out)
+    expire_snapshots(out, keep_last=1)           # drops snapshots 0, 1
+    assert [s["snapshot_id"] for s in tbl.snapshots(out)] == [2]
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    with pytest.raises(StreamingQueryException, match="expired"):
+        _run()
+    # nothing was re-emitted downstream
+    assert spark.read.parquet(sink).count() == 400

@@ -199,3 +199,33 @@ def test_empty_partitions_are_skipped(reg, tmp_path):
     parts = tbl.committed_parts(out)
     assert all(m["n_rows"] > 0 for m in parts.values())
     assert decode(spark, out).count() == 50
+
+
+def test_empty_prune_schema_tracks_live_set(reg, tmp_path):
+    """When filters prune EVERY partition, the empty DataFrame's schema
+    must come from the selection decode() reads (the live set), not
+    from the oldest committed manifest — after a schema-changing
+    logical overwrite those disagree (code-review r5)."""
+    import pytest as _pytest
+
+    from vcf2parquet_spark.errors import StorageError
+
+    spark = reg
+    out = str(tmp_path / "blocks")
+    df = synth_corpus(spark, 200, seed=9)
+    encode(spark, df, out)                         # 5-column schema
+    df.select("repo", "path", "commit", "lang") \
+      .write.format("vcfblocks").mode("overwrite").save(out)
+
+    nothing = [("repo", "==", "zzzz-no-match")]
+    e = decode(spark, out, filters=nothing)
+    assert e.columns == ["repo", "path", "commit", "lang"]
+    assert e.count() == 0
+    # time travel back to the old snapshot keeps the OLD schema
+    snaps = [s["snapshot_id"] for s in tbl.snapshots(out)]
+    e0 = decode(spark, out, snapshot_id=snaps[0], filters=nothing)
+    assert e0.columns == ["repo", "path", "commit", "lang", "content"]
+    # an explicitly requested column missing from the live schema is a
+    # StorageError, not a KeyError
+    with _pytest.raises(StorageError, match="unknown columns"):
+        decode(spark, out, columns=["content"], filters=nothing)

@@ -575,6 +575,40 @@ def test_referenced_columns_star_token_vs_arithmetic():
         cols) == ["path", "lang"]
 
 
+def test_referenced_columns_star_after_comment():
+    """A star preceded by a comment is star EXPANSION — regex masking
+    of strings/backticks alone left `/*+ hint */ *` reading as
+    arithmetic (prev char `/`), silently pruning SELECT * down to the
+    WHERE columns (code-review r5)."""
+    from vcf2parquet_spark.decode import _mask_sql, referenced_columns
+    cols = ["repo", "path", "lang", "content", "n_lines"]
+    assert referenced_columns(
+        "SELECT /*+ REPARTITION(4) */ * FROM corpus WHERE lang = 'py'",
+        cols) == cols
+    assert referenced_columns(
+        "SELECT -- all cols\n * FROM corpus WHERE lang = 'py'",
+        cols) == cols
+    # comment markers inside string literals are NOT comments: the *
+    # after the literal is arithmetic and pruning must survive
+    assert referenced_columns(
+        "SELECT n_lines*2 FROM corpus WHERE path = '--/*'",
+        cols) == ["path", "n_lines"]
+    # a quote inside a comment must not open a string that swallows
+    # a later real star (the failure mode of masking strings first)
+    assert referenced_columns(
+        "SELECT -- don't prune\n * FROM corpus", cols) == cols
+    assert referenced_columns(
+        "SELECT /* isn't */ corpus.* FROM corpus", cols) == cols
+    # arithmetic star directly after a comment over-approximates by
+    # design (safe direction): documented, not asserted as pruned
+    # one-pass masker invariants
+    assert _mask_sql("SELECT '--' , `a*b`, /* 'x */ * FROM t") \
+        == "SELECT '' , c, , * FROM t"
+    assert _mask_sql("-- tail no newline") == ","
+    assert _mask_sql("'it''s' * 2") == "'' * 2"
+    assert _mask_sql("/* unterminated") == ","
+
+
 def test_sql_arithmetic_star_prunes(spark, encoded):
     """`SELECT n_lines*2` must decode exactly one column — the round-4
     behavior decoded ALL columns because the arithmetic `*` tripped the

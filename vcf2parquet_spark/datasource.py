@@ -96,6 +96,15 @@ if TYPE_CHECKING:  # pragma: no cover
 
 FORMAT_NAME = "vcfblocks"
 
+# Part-id namespace spacing between DISTINCT streaming queries writing
+# the same table (see BlocksStreamWriter._resolve_base): each query gets
+# a base that is a multiple of this, giving it QUERY_STRIDE/EPOCH_STRIDE
+# = 10^6 epochs before it could reach the next query's region — and
+# commit() raises loudly at that budget instead of colliding silently.
+QUERY_STRIDE = 10 ** 12
+_STREAM_BASES = "stream_bases.json"   # checkpoint-location -> base, in
+                                      # the table dir (single-writer)
+
 # Filter dataclass -> the manifest bounds-check op it prunes with.
 # Everything else (Not, StringEndsWith/Contains, ...) is simply not
 # prunable here and is left entirely to Spark's row-level pass.
@@ -259,9 +268,11 @@ class BlocksStreamReader(DataSourceStreamReader):
     range re-plans the identical partition list because the snapshot
     log is immutable and part ids are never reused.  Retention caveat
     (standard for log-tailing sources): ``expire_snapshots`` must keep
-    the snapshots past the slowest reader's committed offset, or a
-    restart inside the expired range raises on the missing files
-    rather than silently skipping rows.
+    the snapshots past the slowest reader's committed offset — if the
+    offset's snapshot has been expired, :meth:`partitions` raises a
+    ``StorageError`` (the data files still exist, so nothing else would
+    fail; silently continuing would re-emit every already-delivered
+    partition as duplicates).
 
     Options: ``columns`` (pruning, same as batch), ``startingOffsets``
     = ``earliest`` (default: emit the whole existing table first) |
@@ -296,10 +307,27 @@ class BlocksStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict
                    ) -> Sequence[InputPartition]:
+        from vcf2parquet_spark.errors import StorageError
+
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        snaps = tbl.snapshots(self._path)
+        if lo >= 0 and (not snaps or snaps[0]["snapshot_id"] > lo):
+            # The snapshot at the committed offset has been expired:
+            # "first seen by a snapshot > lo" attribution below the
+            # offset is gone, so planning would re-emit the whole live
+            # set as duplicates (data files still exist — nothing else
+            # would error).  Fail loudly instead.
+            oldest = snaps[0]["snapshot_id"] if snaps else None
+            raise StorageError(
+                f"vcfblocks stream: committed offset snapshot {lo} has "
+                f"been expired from {self._path} (oldest retained: "
+                f"{oldest}); continuing would re-emit already-delivered "
+                "rows.  Keep expire_snapshots retention beyond the "
+                "slowest reader's offset, or restart the query with a "
+                "fresh checkpoint to re-read the table.")
         new: list[int] = []
         seen: set[int] = set()
-        for s in tbl.snapshots(self._path):   # oldest first
+        for s in snaps:                       # oldest first
             sid = s["snapshot_id"]
             if sid > hi:
                 break
@@ -487,9 +515,13 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
     (``<table>/_staging/<uuid>``) via the same ``encode_partition``
     kernels and ships the blocks file + manifest location back.  The
     driver-side :meth:`commit` then assigns DETERMINISTIC final ids —
-    ``(batchId + 1) * EPOCH_STRIDE + task partition id``, the same
-    namespace as ``encode_stream`` — and ``os.replace``s the staged
-    files in.  Exactly-once follows without any dedupe bookkeeping:
+    ``query base + (batchId + 1) * EPOCH_STRIDE + task partition id``,
+    the same epoch namespace as ``encode_stream`` plus a per-QUERY base
+    (:meth:`_resolve_base`, keyed by checkpoint location) so a second
+    query with a fresh checkpoint — whose batchId restarts at 0 —
+    cannot overwrite a previous query's committed files — and
+    ``os.replace``s the staged files in.  Exactly-once follows without
+    any dedupe bookkeeping:
 
     * a REPLAYED micro-batch (restart from the streaming checkpoint
       before its epoch committed) recomputes the SAME final ids and
@@ -516,6 +548,15 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
             raise StorageError(
                 "vcfblocks: .start(<table path>) / option('path') required")
         self._path = path
+        # Stable per-QUERY identity: the checkpoint location (Spark
+        # lower-cases option keys).  Two different streaming queries
+        # writing the same table must not share a part-id namespace —
+        # batchId restarts at 0 with every fresh checkpoint, so ids
+        # derived from batchId alone would silently os.replace() the
+        # previous query's committed files (code-review r5).
+        self._ckpt = os.path.abspath(
+            str(options.get("checkpointlocation") or ""))
+        self._base: Optional[int] = None
         self._stride = EPOCH_STRIDE
         kw: dict = {}
         if options.get("batch_size"):
@@ -563,15 +604,64 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
                           staged_data=tbl.data_path(staging, pid),
                           manifest_json=manifest_json, n_rows=s["n_rows"])
 
+    def _resolve_base(self) -> int:
+        """Part-id base for THIS query (keyed by checkpoint location),
+        assigned once and persisted in ``<table>/stream_bases.json`` so
+        a checkpoint restart reuses it (replays must recompute the SAME
+        final ids).  A new key gets the smallest multiple of
+        QUERY_STRIDE that (a) no other query holds and (b) clears every
+        part id already committed to the table — so a second query with
+        a fresh checkpoint lands in untouched id space instead of
+        overwriting the first query's files.  Idempotent under the
+        multiple writer instantiations Spark performs per query (same
+        key → same base); single-writer protocol for the read-modify-
+        write, as everywhere in the table layout."""
+        if self._base is not None:
+            return self._base
+        bases_path = os.path.join(self._path, _STREAM_BASES)
+        bases: dict = {}
+        if os.path.exists(bases_path):
+            with open(bases_path) as f:
+                bases = json.load(f)
+        if self._ckpt in bases:
+            self._base = int(bases[self._ckpt])
+            return self._base
+        max_committed = -1
+        mdir = os.path.join(self._path, tbl.MANIFEST_DIR)
+        if os.path.isdir(mdir):
+            for name in os.listdir(mdir):
+                if name.startswith("part-") and name.endswith(".json"):
+                    max_committed = max(max_committed,
+                                        int(name[5:-5]))
+        taken = {int(b) for b in bases.values()}
+        cand = 0
+        while cand in taken or cand + self._stride <= max_committed:
+            cand += QUERY_STRIDE
+        bases[self._ckpt] = cand
+        tbl.atomic_write_bytes(bases_path,
+                               json.dumps(bases, sort_keys=True,
+                                          indent=1).encode())
+        self._base = cand
+        return cand
+
     def commit(self, messages: List[Optional[StagedPart]],
                batchId: int) -> None:
         import shutil
 
+        from vcf2parquet_spark.errors import StorageError
+
+        base = self._resolve_base()
+        if (batchId + 1) * self._stride >= QUERY_STRIDE:
+            raise StorageError(
+                f"vcfblocks stream: query at {self._ckpt!r} exhausted "
+                f"its part-id region ({QUERY_STRIDE // self._stride:,} "
+                f"epochs) on table {self._path}; start a new query "
+                "with a fresh checkpoint to continue")
         staged = sorted((m for m in messages
                          if m is not None and m.staged_dir is not None),
                         key=lambda m: m.task_pid)
         for m in staged:
-            final_id = (batchId + 1) * self._stride + m.task_pid
+            final_id = base + (batchId + 1) * self._stride + m.task_pid
             manifest = json.loads(m.manifest_json)
             manifest["part_id"] = final_id
             manifest["stream_batch_id"] = batchId

@@ -147,20 +147,29 @@ def decode(spark: SparkSession, output: str,
                      if pid in set(part_ids)}
     if filters:
         live = set(plan_decode_parts(output, filters, snapshot_id))
-        manifests = {pid: m for pid, m in manifests.items() if pid in live}
-        if not manifests:   # nothing can match: empty DataFrame, right schema
-            committed0 = tbl.committed_parts(output)
-            if not committed0:
-                raise StorageError(f"no committed partitions under {output}")
-            some = next(iter(committed0.values()))
+        pruned = {pid: m for pid, m in manifests.items() if pid in live}
+        if manifests and not pruned:
+            # nothing can match: empty DataFrame with the SAME schema
+            # the non-empty path would return — taken from the newest
+            # manifest of the selection decode() is actually reading
+            # (live/snapshot/part_ids), NOT from committed_parts(),
+            # whose oldest entry may be a non-live pre-overwrite part
+            # with a different schema (code-review r5)
+            some = manifests[max(manifests)]
             # same column-selection rule as the non-empty path below
             cols0 = columns or (
                 some["all_columns"] if include_derived
                 else some["schema_columns"])
+            unknown = [c for c in cols0 if c not in some["profiles"]]
+            if unknown:
+                raise StorageError(
+                    f"unknown columns {unknown} under {output}; "
+                    f"have {sorted(some['profiles'])}")
             ddl0 = ", ".join(
                 f"`{c}` {_SPARK_TYPES[some['profiles'][c]['type']]}"
                 for c in cols0)
             return spark.createDataFrame([], ddl0)
+        manifests = pruned
     if not manifests:
         raise StorageError(f"no committed partitions under {output}")
     missing = [pid for pid in manifests
@@ -280,11 +289,53 @@ def register_view(spark: SparkSession, output: str, name: str,
 
 _re = __import__("re")
 _IDENT_RE = _re.compile(r"`([^`]*)`|[A-Za-z_][A-Za-z0-9_$]*")
-_SQL_STRING_RE = _re.compile(r"'(?:[^']|'')*'")
-_BACKTICK_RE = _re.compile(r"`[^`]*`")
 _WORD_BEFORE_RE = _re.compile(r"([A-Za-z_][A-Za-z0-9_$]*)$")
 # keywords after which a bare `*` is star EXPANSION, not multiplication
 _STAR_KEYWORDS = frozenset(("SELECT", "DISTINCT", "ALL"))
+
+
+def _mask_sql(query: str) -> str:
+    """One left-to-right pass masking string literals (→ ``''``),
+    backquoted identifiers (→ ``c``) and comments (→ ``,``): a quote
+    inside a comment or a comment marker inside a string never counts —
+    two independent regex substitutions cannot guarantee that.  A
+    comment becomes ``,`` (not a space) so a ``*`` FOLLOWING a comment
+    classifies as star expansion: the over-approximating direction
+    (keep all columns) — ``SELECT /*+ hint */ * FROM t`` must never
+    read as arithmetic.  Bracketed comments don't nest here (Spark's
+    do); an inner ``*/`` tail then leaves a ``*`` preceded by the
+    ``,`` mask → star → still the safe direction."""
+    out: list[str] = []
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch == "'":                          # string literal, '' escape
+            j = i + 1
+            while j < n:
+                if query[j] == "'":
+                    if query.startswith("''", j):
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append("''")
+            i = j + 1
+        elif ch == "`":                        # backquoted identifier
+            j = query.find("`", i + 1)
+            out.append("c")
+            i = (j if j != -1 else n) + 1
+        elif query.startswith("--", i):        # line comment (keep \n)
+            j = query.find("\n", i)
+            out.append(",")
+            i = j if j != -1 else n
+        elif query.startswith("/*", i):        # bracketed comment
+            j = query.find("*/", i + 2)
+            out.append(",")
+            i = (j + 2) if j != -1 else n
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _has_star_token(query: str) -> bool:
@@ -293,9 +344,11 @@ def _has_star_token(query: str) -> bool:
     (``n_lines*2``).  Classification is by the preceding token: star
     expansion follows nothing, ``,``, ``(``, ``.``, or a
     SELECT/DISTINCT/ALL keyword; multiplication follows an operand
-    (identifier, number, ``)``, ``]``).  String literals and backquoted
-    identifiers are masked first so a ``*`` inside them never counts."""
-    q = _BACKTICK_RE.sub("c", _SQL_STRING_RE.sub("''", query))
+    (identifier, number, ``)``, ``]``).  String literals, backquoted
+    identifiers and comments are masked first (:func:`_mask_sql`) so a
+    ``*`` inside them never counts — and a ``*`` after a comment
+    always counts (``SELECT /*+ REPARTITION(4) */ * FROM t``)."""
+    q = _mask_sql(query)
     for m in _re.finditer(r"\*", q):
         prev = q[:m.start()].rstrip()
         if not prev or prev[-1] in ",(.":

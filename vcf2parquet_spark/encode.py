@@ -294,7 +294,14 @@ def _derive_int_columns(t: pa.Table) -> pa.Table:
 def _i32_safe_pieces(chunk: pa.Array):
     """Yield slices of a large_string chunk that each cast safely to
     32-bit-offset ``pa.string()``.  Plain string chunks pass through
-    whole (Arrow's own int32 framing already bounds them)."""
+    whole (Arrow's own int32 framing already bounds them).
+
+    One of THREE sites sharing the cumsum-lengths + searchsorted
+    byte-cap motif — the others are :func:`_block_bounds` (multi-column
+    ∩ row cap) and ``profile._entropy_sample`` (prefix cover).  They
+    cut on different axes so they stay separate, but a fix to the cut
+    arithmetic (e.g. the ``max(lo+1, ...)`` single-giant-value clamp)
+    likely applies to all three."""
     if not pa.types.is_large_string(chunk.type):
         yield chunk
         return
@@ -491,7 +498,10 @@ def _block_bounds(t: pa.Table, batch_size: int,
     source files blows the row-only bound).  Columns whose whole-unit
     payload is under the cap — the overwhelmingly common case — cost
     one vectorized length scan and leave the bounds untouched, so
-    existing goldens/digests are byte-identical."""
+    existing goldens/digests are byte-identical.
+
+    Sibling byte-cap cuts: :func:`_i32_safe_pieces`,
+    ``profile._entropy_sample`` (see the note on the former)."""
     import numpy as np
     n = t.num_rows
     cums = []
@@ -815,13 +825,25 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
         tc = TaskContext.get()
         mdir = _os.path.join(output, "pack_metrics")
         _os.makedirs(mdir, exist_ok=True)
-        # keyed by the task's partition id: a retried attempt overwrites
-        # its predecessor instead of double-counting
-        with open(_os.path.join(
-                mdir, f"pack_{tc.partitionId() if tc else 0}.json"),
-                "w") as fh:
-            json.dump({"pack_seconds": round(pack_s, 4)}, fh)
+        # keyed by the task's partition id, written via the table's
+        # tmp+rename primitive: a retried/speculative attempt replaces
+        # its predecessor atomically instead of double-counting — or
+        # tearing the JSON under a concurrent zombie attempt, which
+        # would crash the scaling report's collector
+        tbl.atomic_write_bytes(
+            _os.path.join(mdir,
+                          f"pack_{tc.partitionId() if tc else 0}.json"),
+            json.dumps({"pack_seconds": round(pack_s, 4)}).encode())
 
+    if packed:
+        # fresh per-job pack metrics: these side-files are run
+        # diagnostics, not table state — nothing else cleans them, and
+        # stale files from a previous run of this output would
+        # double-count in the scaling report's segment split
+        import os as _osd
+        import shutil as _shutil
+        _shutil.rmtree(_osd.path.join(output, "pack_metrics"),
+                       ignore_errors=True)
     pre_shuffle = (with_part.mapInArrow(_pack_stream,
                                         schema="part_id long, blob binary")
                    if packed else with_part)
