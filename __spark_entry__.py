@@ -112,6 +112,19 @@ def q_g_projection(spark, sf_dir):
     return df.select("vec_id", F.posexplode(proj).alias("pos", "val"))
 
 
+def _corpus_df(spark, sf_dir):
+    """THE corpus adapter: documents reshaped to the input_hint columns
+    (repo, path, commit, lang, content).  Single definition — five
+    roundtrip/source queries and their DuckDB oracles assume exactly
+    this mapping, so it must never be edited in one site only."""
+    return _doc(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.md5("text").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"))
+
+
 # §2 ops 1-3: compressed source scan + schema application + record parse.
 # The documents table is reshaped to the corpus schema, written as
 # gzip jsonl, read back through sources.read_corpus (explicit schema,
@@ -123,12 +136,7 @@ def q_source_scan(spark, sf_dir):
 
     from vcf2parquet_spark.sources import read_corpus, write_corpus
     d = tempfile.mkdtemp(prefix="vp_src_") + "/docs_jsonl"
-    df = _doc(spark, sf_dir).select(
-        F.col("source").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.md5("text").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"))
+    df = _corpus_df(spark, sf_dir)
     write_corpus(df, d, fmt="jsonl", compression="gzip")
     back = read_corpus(spark, d, fmt="jsonl")
     return back.groupBy("repo").agg(
@@ -406,12 +414,7 @@ def q_encode_roundtrip(spark, sf_dir):
     from vcf2parquet_spark.decode import decode as dec
 
     out = tempfile.mkdtemp(prefix="vp_entry_") + "/blocks"
-    df = _doc(spark, sf_dir).select(
-        F.col("source").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.md5("text").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"))
+    df = _corpus_df(spark, sf_dir)
     df = df.unionByName(df.filter(F.col("path") == "0"))  # injected dup
     encode(spark, df, out, batch_size=1000, target_rows=1000)
     decoded = dec(spark, out)
@@ -435,12 +438,7 @@ def q_clustered_roundtrip(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="vp_entry_cl_")
     src, out = base + "/src_pq", base + "/blocks"
-    df = _doc(spark, sf_dir).select(
-        F.col("source").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.md5("text").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"))
+    df = _corpus_df(spark, sf_dir)
     df = df.unionByName(df.filter(F.col("path") == "0"))  # injected dup
     (df.repartition(4).write.mode("overwrite")
        .option("parquet.block.size", 256 * 1024).parquet(src))
@@ -458,12 +456,7 @@ def _entry_corpus_blocks(spark, sf_dir, prefix):
     from vcf2parquet_spark import encode
 
     out = tempfile.mkdtemp(prefix=prefix) + "/blocks"
-    df = _doc(spark, sf_dir).select(
-        F.col("source").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.md5("text").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"))
+    df = _corpus_df(spark, sf_dir)
     encode(spark, df, out, batch_size=1000, target_rows=1000)
     return out
 
@@ -516,12 +509,7 @@ def q_datasource_write(spark, sf_dir):
 
     register_data_source(spark)
     out = tempfile.mkdtemp(prefix="vp_entry_dsw_") + "/blocks"
-    df = _doc(spark, sf_dir).select(
-        F.col("source").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.md5("text").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"))
+    df = _corpus_df(spark, sf_dir)
     df = df.unionByName(df.filter(F.col("path") == "0"))  # injected dup
     (df.repartition(4, "repo").write.format("vcfblocks")
        .option("batch_size", 1000).mode("append").save(out))
@@ -567,12 +555,7 @@ def q_datasource_stream(spark, sf_dir):
     register_data_source(spark)
     base = tempfile.mkdtemp(prefix="vp_entry_dst_")
     out, cp = base + "/blocks", base + "/cp"
-    df = _doc(spark, sf_dir).select(
-        F.col("source").alias("repo"),
-        F.col("doc_id").cast("string").alias("path"),
-        F.md5("text").alias("commit"),
-        F.col("lang"),
-        F.col("text").alias("content"))
+    df = _corpus_df(spark, sf_dir)
     df = df.unionByName(df.filter(F.col("path") == "0"))  # injected dup
     encode(spark, df, out, batch_size=1000, target_rows=1000)
     name = "vp_tail_" + uuid.uuid4().hex[:8]
@@ -580,7 +563,15 @@ def q_datasource_stream(spark, sf_dir):
          .writeStream.format("memory").queryName(name)
          .option("checkpointLocation", cp)
          .trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # a timeout would leave the memory sink partially filled and
+        # surface downstream as a value-hash mismatch that looks like a
+        # decode-path bug; fail attributably instead
+        q.stop()
+        raise TimeoutError(
+            "vcfblocks availableNow stream did not finish within 600s "
+            "(throttled host?) — datasource_stream result would be "
+            "partial")
     return _roundtrip_matched(df, spark.table(name))
 
 

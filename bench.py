@@ -10,7 +10,9 @@ local[$SPARK_GRAFT_CPUS]:
   profile_stats   column profiling aggregate on documents
   dedup_minhash   MinHash signatures + LSH candidate pairs on documents
   cosine_topk     brute-force cosine top-k on embeddings
-  text_analysis   token stats + quality + language-ID on documents
+  text_analysis   quality scoring on documents (one representative
+                  text query — token stats / langid / fingerprint run
+                  under the driver's correctness contract instead)
 
 The synthetic corpus is pre-materialized to parquet (generation is not
 timed). Extra JSON fields report encode GB/s and the compressed-size
@@ -54,6 +56,12 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "7"))
 AB_PAIRS = int(os.environ.get("SPARK_GRAFT_AB_PAIRS", "2"))
 WORK_DIR = os.environ.get("SPARK_GRAFT_WORK", "/tmp/vp_bench")
+# Every BENCH artifact (BASELINE.md, SCALING.json, HISTORY.jsonl) is
+# anchored to the script's own directory, never the cwd — `python
+# /root/repo/bench.py` from elsewhere must not scatter reports (or
+# silently miss SCALING.json and drop scaling_cached)
+_BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH")
 
 
 def bench_conf() -> dict:
@@ -107,7 +115,6 @@ def bench_encode(spark, corpus_path: str, out: str, target_rows: int = 2500,
     # smooths the tail waves (measured sweep at local[32]: 2500→2.55s,
     # 2000→2.66s, 4000→3.94s, 7000/32-units→4.22s — coarse units leave
     # cores idle in the last wave; finer units pay per-task overhead)
-    from pyspark.sql import functions as F
     from vcf2parquet_spark.encode import encode
 
     df = spark.read.parquet(corpus_path)
@@ -148,7 +155,7 @@ def main() -> None:
     if scaling_only:
         # regenerate BENCH/BASELINE.md without re-timing the headline
         # suite (the suite number comes from a plain `python bench.py`)
-        s = run_scaling(spark, corpus_path, pairs=SCALE_PAIRS)
+        s = run_scaling(spark, pairs=SCALE_PAIRS)
         print(json.dumps({
             "metric": "N-vs-4N scaling efficiency (clustered path median)",
             "value": s["efficiency"], "unit": "efficiency",
@@ -200,10 +207,18 @@ def main() -> None:
     def run_decode():
         t0 = time.time()
         decoded = decode(spark, out)
-        n = (decoded.select(F.sha2("content", 256).alias("s"))
-             .agg(F.count("*")).collect()[0][0])
+        # aggregate OVER the hash (count("s") + an order-insensitive
+        # bit_xor fold), not count(*): under count(*) Catalyst prunes
+        # the unused sha2 projection and the "verify" leg would time a
+        # bare row count (code-review r5)
+        n, digest = (decoded
+                     .select(F.sha2("content", 256).alias("s"))
+                     .agg(F.count("s"),
+                          F.bit_xor(F.xxhash64("s")))
+                     .collect()[0])
         dt = time.time() - t0
         assert n == BENCH_ROWS, n
+        assert digest is not None
         return dt
 
     import __spark_entry__ as entry
@@ -256,15 +271,14 @@ def main() -> None:
         job_cl["raw_bytes"] / 1e9 / best["encode_clustered"], 4)
 
     if scaling:
-        extras["scaling"] = run_scaling(spark, corpus_path,
-                                        pairs=SCALE_PAIRS)
+        extras["scaling"] = run_scaling(spark, pairs=SCALE_PAIRS)
     else:
         spark.stop()
         # surface the committed scaling medians (the full N-vs-4N suite
         # takes ~2h, far beyond a per-round bench) — clearly labeled as
         # read from the last `--scaling` run, not measured in THIS run
         try:
-            with open("BENCH/SCALING.json") as f:
+            with open(os.path.join(_BENCH_DIR, "SCALING.json")) as f:
                 s = json.load(f)
             extras["scaling_cached"] = {
                 "source": "BENCH/SCALING.json (last bench.py --scaling "
@@ -303,8 +317,7 @@ def main() -> None:
     # same binary measures 13.8s..23.9s suites; compare at comparable
     # host_window values (BENCH/HISTORY.jsonl is committed per round)
     try:
-        hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH", "HISTORY.jsonl")
+        hist = os.path.join(_BENCH_DIR, "HISTORY.jsonl")
         with open(hist, "a") as f:
             f.write(json.dumps({"wall_clock": time.time(), **line}) + "\n")
     except OSError:
@@ -365,7 +378,7 @@ def bench_encode_clustered(spark, src: str, out: str,
     return time.time() - t0, job
 
 
-def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
+def run_scaling(spark32, pairs: int = 7) -> dict:
     """Encode at local[N] and local[4N]; writes BENCH/BASELINE.md.
 
     Two engine paths are measured, each over the same SCALING_ROWS
@@ -498,6 +511,13 @@ def run_scaling(spark32, corpus_path: str, pairs: int = 7) -> dict:
         summary["shuffle_path"]["ab_content_zstd"] = \
             summarize("shuffle(content=plain+zstd)", ab_runs)
     _write_baseline_md(summary)
+    # persist the machine-readable summary NEXT TO the human report:
+    # plain (non---scaling) bench runs quote these medians as
+    # scaling_cached, labeled "last bench.py --scaling run" — which is
+    # only true if every --scaling run actually refreshes this file
+    # (code-review r5: it used to be written by hand)
+    with open(os.path.join(_BENCH_DIR, "SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
     return summary
 
 
@@ -662,7 +682,7 @@ def _ab_section(sh: dict) -> list[str]:
 
 
 def _write_baseline_md(s: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(_BENCH_DIR, exist_ok=True)
     first = s["all_pairs"][0]["n"]
     probe = s.get("host_probe", {})
     probe_rows = []
@@ -818,7 +838,7 @@ def _write_baseline_md(s: dict) -> None:
         "Regenerate: `python bench.py --scaling` (env: SPARK_GRAFT_SCALE_N,",
         "SPARK_GRAFT_SCALING_ROWS).",
     ]
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(_BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 

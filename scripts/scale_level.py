@@ -70,7 +70,9 @@ def main() -> int:
     ap.add_argument("--tag", default="p0")
     ap.add_argument("--content-codec", default=None,
                     help="codec_overrides entry for the content column "
-                         "(A/B attribution runs, e.g. plain+zstd9)")
+                         "(A/B attribution runs, e.g. plain+zstd — the "
+                         "unpinned zstd cascade IS level 9; valid "
+                         "cascades are kernels.codecs.CASCADES)")
     args = ap.parse_args()
 
     import bench

@@ -63,6 +63,18 @@ def main() -> int:
                       extra_conf=conf)
     corpus = bench.materialize_corpus(spark, args.rows)
 
+    # warm-up (untimed): one small encode so every python worker
+    # imports numpy/pyarrow and faults its pools before the first
+    # measured leg — without it the raw leg (which runs first) absorbs
+    # all cold-start cost and the packed/raw wall ratio is overstated
+    # in packed's favor (code-review r5)
+    warm = f"{bench.WORK_DIR}/probe_warm"
+    if os.path.exists(warm):
+        shutil.rmtree(warm)
+    bench.bench_encode(spark,
+                       bench.materialize_corpus(spark, args.cores * 500),
+                       warm, target_rows=500)
+
     out = {}
     marks = [total_shuffle_write(spark)]
     walls = {}
