@@ -60,8 +60,11 @@ def test_stream_sink_epochs_and_exactly_once(reg, tmp_path):
     assert snaps and all(s["operation"] == "stream_epoch" for s in snaps)
     # part ids live in the epoch namespace
     assert all(p >= EPOCH_STRIDE for p in tbl.committed_parts(out))
-    # staging is drained
-    assert os.listdir(os.path.join(out, "_staging")) == []
+    # staging is drained: only this query's (empty) key dir remains
+    staging = os.path.join(out, "_staging")
+    keys = os.listdir(staging)
+    assert len(keys) == 1
+    assert os.listdir(os.path.join(staging, keys[0])) == []
 
     # second epoch: more files arrive, restart from the same checkpoint
     d2 = (synth_corpus(spark, 400, seed=22, partitions=2)
@@ -122,7 +125,8 @@ def test_stream_sink_distinct_queries_do_not_clobber(reg, tmp_path):
     # the queries occupy disjoint QUERY_STRIDE regions, recorded in the
     # table's stream_bases registry keyed by checkpoint location
     with open(os.path.join(out, "stream_bases.json")) as f:
-        bases = sorted(_json.load(f).values())
+        bases = sorted(e["base"] for k, e in _json.load(f).items()
+                       if k != "_retired")
     assert bases == [0, QUERY_STRIDE]
     regions = {p // QUERY_STRIDE for p in tbl.committed_parts(out)}
     assert regions == {0, 1}

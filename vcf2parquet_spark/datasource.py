@@ -102,8 +102,10 @@ FORMAT_NAME = "vcfblocks"
 # = 10^6 epochs before it could reach the next query's region — and
 # commit() raises loudly at that budget instead of colliding silently.
 QUERY_STRIDE = 10 ** 12
-_STREAM_BASES = "stream_bases.json"   # checkpoint-location -> base, in
-                                      # the table dir (single-writer)
+_STREAM_BASES = "stream_bases.json"   # in the table dir (single-writer):
+# checkpoint-location -> {"base": int, "last_batch": int} (a bare int is
+# the pre-r5 format), plus "_retired": [bases abandoned when a deleted-
+# and-recreated checkpoint forced a query onto fresh id space]
 
 # Filter dataclass -> the manifest bounds-check op it prunes with.
 # Everything else (Not, StringEndsWith/Contains, ...) is simply not
@@ -165,10 +167,14 @@ class BlocksReader(DataSourceReader):
     (post-pruning); each task decodes its file's blocks directly with
     pyarrow — the same zero-shuffle shape as ``decode()``."""
 
-    def __init__(self, schema, options: dict) -> None:
+    def __init__(self, schema, options: dict,
+                 planned: Optional[tuple] = None) -> None:
         self._options = dict(options)
         self._cols = [f.name for f in schema.fields]
         self._pruning: list[tuple[str, str, object]] = []
+        # the (manifests, ...) plan from DataSource.schema(), when that
+        # ran — saves a second O(partitions) manifest scan per query
+        self._planned = planned
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         """Record bounds-checkable filters for manifest-level partition
@@ -189,7 +195,12 @@ class BlocksReader(DataSourceReader):
         return list(filters)
 
     def partitions(self) -> Sequence[InputPartition]:
-        manifests, _, _ = _plan(self._options)
+        # reuse the schema-time plan when present (one manifest scan per
+        # query, not two), then drop it: partitions() runs driver-side,
+        # and the reader object pickled to every executor must not
+        # carry O(partitions) manifest JSON
+        manifests, _, _ = self._planned or _plan(self._options)
+        self._planned = None
         keep = [
             pid for pid, m in sorted(manifests.items())
             if all(_part_may_match(m, c, op, v)
@@ -257,8 +268,15 @@ class BlocksStreamReader(DataSourceStreamReader):
 
     * ``encode`` / ``append`` / ``overwrite`` / ``stream_epoch``
       snapshots carry their NEW partitions' rows downstream;
-    * ``compact`` snapshots are pure rewrites of already-emitted rows —
-      their partitions are skipped (never re-emitted);
+    * ``compact`` snapshots never re-emit: their ``rewrite_ids`` (the
+      re-encoded copies of already-emitted rows) are skipped.  Other
+      partitions first referenced by a compact snapshot — a crashed
+      run's output the maintenance pass adopted — ARE emitted (their
+      rows were never delivered).  ``compact()`` guarantees its
+      SOURCES were snapshot-referenced beforehand, so rewrite outputs
+      never mix emitted and unemitted rows.  A compact snapshot
+      without ``rewrite_ids`` (pre-r5 format) skips every
+      first-referenced partition, the old behavior;
     * ``overwrite`` emits the newly written rows only; rows it removed
       from the live set are NOT retracted (no changelog mode).
     * Partitions committed by a crashed/in-flight run (manifest present,
@@ -331,11 +349,13 @@ class BlocksStreamReader(DataSourceStreamReader):
             sid = s["snapshot_id"]
             if sid > hi:
                 break
+            skip = (set(s.get("rewrite_ids", s["part_ids"]))
+                    if s["operation"] == "compact" else ())
             for p in s["part_ids"]:
                 if p in seen:
                     continue
                 seen.add(p)
-                if sid > lo and s["operation"] != "compact":
+                if sid > lo and p not in skip:
                     new.append(p)
         return [InputPartition(tbl.data_path(self._path, p))
                 for p in sorted(new)]
@@ -512,12 +532,14 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
 
     The executor-side :meth:`write` does not know the micro-batch id,
     so each task encodes its split into a per-attempt STAGING dir
-    (``<table>/_staging/<uuid>``) via the same ``encode_partition``
-    kernels and ships the blocks file + manifest location back.  The
-    driver-side :meth:`commit` then assigns DETERMINISTIC final ids —
+    (``<table>/_staging/<query key>/<uuid>`` — the query key is a hash
+    of the checkpoint location, so two queries' staged files never
+    share a directory) via the same ``encode_partition`` kernels and
+    ships the blocks file + manifest location back.  The driver-side
+    :meth:`commit` then assigns DETERMINISTIC final ids —
     ``query base + (batchId + 1) * EPOCH_STRIDE + task partition id``,
     the same epoch namespace as ``encode_stream`` plus a per-QUERY base
-    (:meth:`_resolve_base`, keyed by checkpoint location) so a second
+    (``stream_bases.json``, keyed by checkpoint location) so a second
     query with a fresh checkpoint — whose batchId restarts at 0 —
     cannot overwrite a previous query's committed files — and
     ``os.replace``s the staged files in.  Exactly-once follows without
@@ -529,13 +551,20 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
     * a crash mid-commit is healed by the replay finishing the same
       renames; the epoch's snapshot de-dupes itself
       (``commit_snapshot`` no-ops when the live set is unchanged);
+    * each base entry records the query's committed-batch HIGH-WATER
+      mark: a batchId BELOW it means the checkpoint at this location
+      was deleted and recreated (a legitimate replay is only ever the
+      last batch), so the entry is retired and the new incarnation
+      gets fresh id space instead of silently ``os.replace``-ing the
+      old incarnation's committed files;
     * failed/speculative task attempts stage under distinct uuids and
-      only the reported attempt is adopted; :meth:`commit` drains the
-      whole staging root after its renames (which also reclaims any
-      earlier crashed epoch's leftovers), :meth:`abort` removes the
+      only the reported attempt is adopted; :meth:`commit` drains THIS
+      query's staging dir after its renames (which also reclaims its
+      own earlier crashed epoch's leftovers, and cannot touch a
+      concurrent query's staged files), :meth:`abort` removes the
       attempts it was told about — neither runs at query start, since
       Spark instantiates this writer more than once per query (see the
-      ``__init__`` note); single-writer protocol, as everywhere.
+      ``__init__`` note); single-writer protocol per query.
     """
 
     def __init__(self, schema, options: dict, overwrite: bool) -> None:
@@ -556,7 +585,9 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
         # previous query's committed files (code-review r5).
         self._ckpt = os.path.abspath(
             str(options.get("checkpointlocation") or ""))
-        self._base: Optional[int] = None
+        import hashlib
+        self._stage_key = hashlib.sha256(
+            self._ckpt.encode()).hexdigest()[:16]
         self._stride = EPOCH_STRIDE
         kw: dict = {}
         if options.get("batch_size"):
@@ -570,7 +601,8 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
         self._opts = EncodeOptions(snapshot=False, resume=False, **kw)
         self._schema_columns = [f.name for f in schema.fields]
         tbl.init_layout(path)
-        os.makedirs(os.path.join(path, "_staging"), exist_ok=True)
+        self._stage_root = os.path.join(path, "_staging", self._stage_key)
+        os.makedirs(self._stage_root, exist_ok=True)
         # NOTE: no staging purge here — Spark instantiates this writer
         # MORE than once per query (micro-batch planner and the lazy
         # commit runner), including AFTER tasks have already staged
@@ -593,7 +625,7 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
         batches = [b for b in iterator if b.num_rows]
         if not batches:
             return StagedPart(task_pid=pid)
-        staging = os.path.join(self._path, "_staging", uuid.uuid4().hex)
+        staging = os.path.join(self._stage_root, uuid.uuid4().hex)
         tbl.init_layout(staging)
         t = pa.Table.from_batches(batches)
         s = encode_partition(pid, t, staging, self._opts,
@@ -604,28 +636,26 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
                           staged_data=tbl.data_path(staging, pid),
                           manifest_json=manifest_json, n_rows=s["n_rows"])
 
-    def _resolve_base(self) -> int:
-        """Part-id base for THIS query (keyed by checkpoint location),
-        assigned once and persisted in ``<table>/stream_bases.json`` so
-        a checkpoint restart reuses it (replays must recompute the SAME
-        final ids).  A new key gets the smallest multiple of
-        QUERY_STRIDE that (a) no other query holds and (b) clears every
-        part id already committed to the table — so a second query with
-        a fresh checkpoint lands in untouched id space instead of
-        overwriting the first query's files.  Idempotent under the
-        multiple writer instantiations Spark performs per query (same
-        key → same base); single-writer protocol for the read-modify-
-        write, as everywhere in the table layout."""
-        if self._base is not None:
-            return self._base
+    @staticmethod
+    def _parse_entry(entry) -> tuple[int, int]:
+        """(base, last committed batchId) from a ``stream_bases.json``
+        entry; a bare int is the pre-r5 format (no high-water mark)."""
+        if isinstance(entry, dict):
+            return int(entry["base"]), int(entry.get("last_batch", -1))
+        return int(entry), -1
+
+    def _read_bases(self) -> tuple[dict, str]:
         bases_path = os.path.join(self._path, _STREAM_BASES)
-        bases: dict = {}
         if os.path.exists(bases_path):
             with open(bases_path) as f:
-                bases = json.load(f)
-        if self._ckpt in bases:
-            self._base = int(bases[self._ckpt])
-            return self._base
+                return json.load(f), bases_path
+        return {}, bases_path
+
+    def _alloc_base(self, bases: dict) -> int:
+        """Smallest multiple of QUERY_STRIDE that (a) no query holds —
+        current or retired — and (b) clears every part id already
+        committed to the table, so the new query (or new incarnation)
+        lands in untouched id space instead of overwriting files."""
         max_committed = -1
         mdir = os.path.join(self._path, tbl.MANIFEST_DIR)
         if os.path.isdir(mdir):
@@ -633,15 +663,12 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
                 if name.startswith("part-") and name.endswith(".json"):
                     max_committed = max(max_committed,
                                         int(name[5:-5]))
-        taken = {int(b) for b in bases.values()}
+        taken = {self._parse_entry(e)[0]
+                 for k, e in bases.items() if k != "_retired"}
+        taken |= {int(b) for b in bases.get("_retired", [])}
         cand = 0
         while cand in taken or cand + self._stride <= max_committed:
             cand += QUERY_STRIDE
-        bases[self._ckpt] = cand
-        tbl.atomic_write_bytes(bases_path,
-                               json.dumps(bases, sort_keys=True,
-                                          indent=1).encode())
-        self._base = cand
         return cand
 
     def commit(self, messages: List[Optional[StagedPart]],
@@ -650,13 +677,42 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
 
         from vcf2parquet_spark.errors import StorageError
 
-        base = self._resolve_base()
         if (batchId + 1) * self._stride >= QUERY_STRIDE:
             raise StorageError(
                 f"vcfblocks stream: query at {self._ckpt!r} exhausted "
                 f"its part-id region ({QUERY_STRIDE // self._stride:,} "
                 f"epochs) on table {self._path}; start a new query "
                 "with a fresh checkpoint to continue")
+        # Resolve this query's part-id base (single-writer read-modify-
+        # write, as everywhere in the table layout).  The reservation is
+        # persisted BEFORE any rename: a crash after renames re-reads
+        # the same entry on replay and recomputes the SAME final ids.
+        bases, bases_path = self._read_bases()
+        entry = bases.get(self._ckpt)
+        retired: list[int] = []
+        if entry is None:
+            base, last = self._alloc_base(bases), -1
+        else:
+            base, last = self._parse_entry(entry)
+            if batchId < last:
+                # The checkpoint at this location was deleted and
+                # recreated: batchId restarted below the high-water
+                # mark (a legitimate replay is only ever the LAST
+                # batch).  Reusing the base would re-derive the first
+                # incarnation's final ids and os.replace() its
+                # committed files with different rows.  Retire the old
+                # base — it stays reserved so a third incarnation
+                # cannot land on it either — and move to fresh space.
+                retired = [base]
+                base, last = self._alloc_base(bases), -1
+        if entry is None or retired:
+            if retired:
+                bases["_retired"] = (
+                    list(bases.get("_retired", [])) + retired)
+            bases[self._ckpt] = {"base": base, "last_batch": last}
+            tbl.atomic_write_bytes(
+                bases_path,
+                json.dumps(bases, sort_keys=True, indent=1).encode())
         staged = sorted((m for m in messages
                          if m is not None and m.staged_dir is not None),
                         key=lambda m: m.task_pid)
@@ -667,13 +723,20 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
             manifest["stream_batch_id"] = batchId
             os.replace(m.staged_data, tbl.data_path(self._path, final_id))
             tbl.commit_manifest(self._path, final_id, manifest)
-        # drain staging: adopted files were renamed out above; whatever
-        # remains is a superseded speculative attempt or a crashed
-        # earlier epoch's leftovers (epochs are serial, so no in-flight
-        # task can still be writing here)
-        staging_root = os.path.join(self._path, "_staging")
-        for d in os.listdir(staging_root):
-            shutil.rmtree(os.path.join(staging_root, d),
+        # advance the high-water mark now that the epoch's files are in
+        bases[self._ckpt] = {"base": base,
+                             "last_batch": max(last, batchId)}
+        tbl.atomic_write_bytes(
+            bases_path,
+            json.dumps(bases, sort_keys=True, indent=1).encode())
+        # drain THIS query's staging dir: adopted files were renamed out
+        # above; whatever remains is a superseded speculative attempt or
+        # a crashed earlier epoch's leftovers (epochs are serial within
+        # a query, so no in-flight task of ours can still be writing
+        # here — and another query's staged files live under its own
+        # key, untouched)
+        for d in os.listdir(self._stage_root):
+            shutil.rmtree(os.path.join(self._stage_root, d),
                           ignore_errors=True)
         snap = tbl.commit_snapshot(self._path, operation="stream_epoch",
                                    wall_time=time.time())
@@ -713,7 +776,8 @@ class BlocksDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> str:
-        manifests, base, all_cols = _plan(self.options)
+        self._planned = _plan(self.options)
+        manifests, base, all_cols = self._planned
         cols = _option_columns(self.options, base, all_cols)
         first = next(iter(manifests.values()))
         return ", ".join(
@@ -721,7 +785,10 @@ class BlocksDataSource(DataSource):
             for c in cols)
 
     def reader(self, schema) -> BlocksReader:
-        return BlocksReader(schema, self.options)
+        # hand the schema-time plan to the reader (None when the caller
+        # supplied an explicit schema and schema() never ran)
+        return BlocksReader(schema, self.options,
+                            getattr(self, "_planned", None))
 
     def writer(self, schema, overwrite: bool) -> BlocksArrowWriter:
         return BlocksArrowWriter(schema, self.options, overwrite)

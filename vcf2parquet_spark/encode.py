@@ -49,12 +49,16 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from vcf2parquet_spark import table as tbl
+from vcf2parquet_spark.errors import SchemaError
 from vcf2parquet_spark.kernels import encode_column
 from vcf2parquet_spark.profile import profile_arrow
 from vcf2parquet_spark.select import choose_codecs
 
 DEFAULT_BATCH = 100_000          # rows per block (reference default batch size)
 DEFAULT_TARGET_ROWS = 250_000    # rows per work unit before salting kicks in
+_I32_CAP = (1 << 31) - 8         # max bytes one 32-bit-offset string
+                                 # array can frame; a SINGLE value past
+                                 # it is unencodable (SchemaError)
 
 SUMMARY_SCHEMA = ("part_id long, n_rows long, raw_bytes long, enc_bytes long, "
                   "n_blocks int, n_columns int, seconds double, status string")
@@ -310,10 +314,18 @@ def _i32_safe_pieces(chunk: pa.Array):
                      pa.scalar(0, pa.int64()))
     cum = np.zeros(len(chunk) + 1, np.int64)
     np.cumsum(ln.to_numpy(zero_copy_only=False), out=cum[1:])
-    cap = (1 << 31) - 8
     lo = 0
     while lo < len(chunk):
-        hi = int(np.searchsorted(cum, cum[lo] + cap, side="right")) - 1
+        if cum[lo + 1] - cum[lo] > _I32_CAP:
+            # a 1-row piece past the cap cannot cast to 32-bit offsets
+            # anywhere downstream — fail with the real reason instead
+            # of pyarrow's ArrowInvalid offset-overflow
+            raise SchemaError(
+                f"a single string value of {int(cum[lo + 1] - cum[lo]):,}"
+                f" bytes exceeds the {_I32_CAP:,}-byte per-value limit "
+                "of 32-bit string offsets (split the value upstream)")
+        hi = int(np.searchsorted(cum, cum[lo] + _I32_CAP,
+                                 side="right")) - 1
         hi = max(lo + 1, min(hi, len(chunk)))
         yield chunk.slice(lo, hi - lo)
         lo = hi
@@ -515,17 +527,28 @@ def _block_bounds(t: pa.Table, batch_size: int,
             cum = np.zeros(n + 1, np.int64)
             np.cumsum(ln.to_numpy(zero_copy_only=False), out=cum[1:])
             if int(cum[-1]) > block_bytes:  # can this column overflow at all?
-                cums.append(cum)
+                cums.append((name, cum))
     bounds = []
     lo = 0
     while lo < n:
         hi = min(lo + batch_size, n)
-        for cum in cums:
+        for _, cum in cums:
             if cum[hi] - cum[lo] > block_bytes:
                 h = int(np.searchsorted(cum, cum[lo] + block_bytes,
                                         side="right")) - 1
                 hi = min(hi, max(lo + 1, h))  # ≥1 row: a single giant
                 #                               value can't be split
+        if hi == lo + 1:
+            # the single-row clamp fired; a lone value is fine past
+            # block_bytes (one over-size block) but NOT past the 32-bit
+            # offset cap every downstream framing assumes
+            for name, cum in cums:
+                if cum[hi] - cum[lo] > _I32_CAP:
+                    raise SchemaError(
+                        f"column {name!r} row {lo} holds a single "
+                        f"{int(cum[hi] - cum[lo]):,}-byte value — over "
+                        f"the {_I32_CAP:,}-byte per-value limit of "
+                        "32-bit offsets (split the value upstream)")
         bounds.append((lo, hi))
         lo = hi
     return bounds

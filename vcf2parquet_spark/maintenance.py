@@ -67,6 +67,19 @@ def compact(spark: SparkSession, output: str,
     if len(small) < 2:
         return {"operation": "compact", "status": "noop",
                 "small_parts": small, "abandoned_parts": abandoned}
+    # Compaction sources must be snapshot-referenced BEFORE the rewrite:
+    # the compact snapshot marks its new partitions as rewrites of
+    # already-delivered rows (``rewrite_ids``), so a log-tailing stream
+    # reader skips them.  If any source is a dangling adopted partition
+    # (crashed run: manifest committed, never snapshotted), its rows
+    # were never delivered — adopt the live set with one ordinary
+    # snapshot first so the tail emits them, then rewrite.
+    ever: set[int] = set()
+    for s in tbl.snapshots(output):
+        ever.update(s["part_ids"])
+    if any(p not in ever for p in small):
+        tbl.commit_snapshot(output, operation="append",
+                            wall_time=time.time())
 
     df = decode(spark, output, part_ids=small)
     offset = max(tbl.committed_parts(output)) + 1
@@ -80,8 +93,9 @@ def compact(spark: SparkSession, output: str,
     # and adopts the rewrite — the only commit point of the whole op
     new_parts = [p for p in tbl.committed_parts(output) if p >= offset]
     keep = sorted((set(live) - set(small)) | set(new_parts))
-    snap = tbl.commit_snapshot(output, operation="compact",
-                               wall_time=time.time(), part_ids=keep)
+    snap = tbl.commit_snapshot(
+        output, operation="compact", wall_time=time.time(), part_ids=keep,
+        extra={"rewrite_ids": sorted(new_parts)})
     meta = tbl.read_table_meta(output)
     meta.update({"current_snapshot_id": snap["snapshot_id"],
                  "n_committed": snap["summary"]["n_partitions"],

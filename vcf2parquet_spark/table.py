@@ -155,15 +155,20 @@ def snapshot_path(output: str, snapshot_id: int) -> str:
 
 
 def snapshots(output: str) -> list[dict]:
-    """All snapshots, oldest first."""
+    """All snapshots, oldest first — ordered by NUMERIC id, not
+    filename: ``snap-{id:05d}`` names sort lexicographically wrong past
+    99,999 (``snap-100000`` < ``snap-99999``), a regime the streaming
+    sink's one-snapshot-per-epoch cadence reaches long before its
+    10^6-epoch budget."""
     sdir = os.path.join(output, SNAPSHOT_DIR)
     if not os.path.isdir(sdir):
         return []
+    names = [n for n in os.listdir(sdir)
+             if n.startswith("snap-") and n.endswith(".json")]
     out = []
-    for name in sorted(os.listdir(sdir)):
-        if name.startswith("snap-") and name.endswith(".json"):
-            with open(os.path.join(sdir, name)) as f:
-                out.append(json.load(f))
+    for name in sorted(names, key=lambda n: int(n[5:-5])):
+        with open(os.path.join(sdir, name)) as f:
+            out.append(json.load(f))
     return out
 
 
@@ -195,10 +200,14 @@ def live_parts(output: str) -> dict[int, dict]:
 
 def commit_snapshot(output: str, operation: str,
                     wall_time: float | None = None,
-                    part_ids: list[int] | None = None) -> dict:
+                    part_ids: list[int] | None = None,
+                    extra: dict | None = None) -> dict:
     """Append a snapshot.  ``part_ids=None`` captures the default live
     set (previous live ∪ newly committed partitions); compaction passes
-    an explicit set that drops the rewritten partitions.
+    an explicit set that drops the rewritten partitions, plus
+    ``extra={"rewrite_ids": ...}`` so log-tailing readers can tell a
+    rewrite (rows already emitted) from an adopted partition (rows
+    never emitted) — see ``BlocksStreamReader.partitions``.
 
     Written via the same tmp+rename primitive; the table file's
     ``current_snapshot_id`` is updated after, so a crash between the two
@@ -228,6 +237,8 @@ def commit_snapshot(output: str, operation: str,
         },
         "metrics": {"wall_time": wall_time},
     }
+    if extra:
+        snap.update(extra)
     atomic_write_bytes(snapshot_path(output, sid),
                        json.dumps(snap, sort_keys=True, indent=1).encode())
     return snap
