@@ -124,9 +124,11 @@ def test_stream_sink_distinct_queries_do_not_clobber(reg, tmp_path):
     assert got.filter(F.col("repo").startswith("q2/")).count() == 200
     # the queries occupy disjoint QUERY_STRIDE regions, recorded in the
     # table's stream_bases registry keyed by checkpoint location
-    with open(os.path.join(out, "stream_bases.json")) as f:
-        bases = sorted(e["base"] for k, e in _json.load(f).items()
-                       if k != "_retired")
+    bdir = os.path.join(out, "_stream_bases")
+    bases = sorted(
+        _json.load(open(os.path.join(bdir, n)))["base"]
+        for n in os.listdir(bdir)
+        if n.startswith("q-") and n.endswith(".json"))
     assert bases == [0, QUERY_STRIDE]
     regions = {p // QUERY_STRIDE for p in tbl.committed_parts(out)}
     assert regions == {0, 1}

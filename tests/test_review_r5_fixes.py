@@ -121,7 +121,15 @@ def _stage(w: BlocksStreamWriter, n: int, seed: int):
     return w.write(iter(t.to_batches()))
 
 
-def test_stream_writer_recreated_checkpoint_gets_fresh_ids(tmp_path):
+def _entry(out: str, w: BlocksStreamWriter) -> dict:
+    p = os.path.join(out, "_stream_bases", f"q-{w._stage_key}.json")
+    with open(p) as f:
+        return json.load(f)
+
+
+def test_stream_writer_recreated_checkpoint_hwm_fallback(tmp_path):
+    """No checkpoint metadata readable -> the batch-counter high-water
+    mark catches a recreation that restarts below the last batch."""
     out, cp = str(tmp_path / "t"), str(tmp_path / "cp")
     w1 = _writer(out, cp)
     w1.commit([_stage(w1, 50, seed=71)], batchId=0)
@@ -142,10 +150,44 @@ def test_stream_writer_recreated_checkpoint_gets_fresh_ids(tmp_path):
     assert new == {QUERY_STRIDE + EPOCH_STRIDE}
     for p, m in first.items():
         assert parts[p]["content_sha256"] == m["content_sha256"]
-    bases = json.load(open(os.path.join(out, "stream_bases.json")))
-    assert bases["_retired"] == [0]
-    entry = bases[os.path.abspath(cp)]
+    entry = _entry(out, w2)
+    assert entry["retired"] == [0]
     assert entry["base"] == QUERY_STRIDE and entry["last_batch"] == 0
+
+
+def test_stream_writer_recreated_checkpoint_query_id(tmp_path):
+    """The checkpoint metadata uuid catches the one-committed-batch
+    recreation the batch counter alone cannot (batchId == last_batch
+    == 0 both on a legit replay and on a recreation)."""
+    out = str(tmp_path / "t")
+    cp = tmp_path / "cp"
+    cp.mkdir()
+    (cp / "metadata").write_text(json.dumps({"id": "incarnation-a"}))
+    w1 = _writer(out, str(cp))
+    w1.commit([_stage(w1, 50, seed=74)], batchId=0)
+    first = dict(tbl.committed_parts(out))
+    assert _entry(out, w1)["query_id"] == "incarnation-a"
+
+    # same id, same batch: a legitimate replay -> same final ids
+    w1b = _writer(out, str(cp))
+    w1b.commit([_stage(w1b, 50, seed=74)], batchId=0)
+    assert sorted(tbl.committed_parts(out)) == sorted(first)
+
+    # recreated checkpoint (new uuid), batchId 0 again -> fresh base
+    (cp / "metadata").write_text(json.dumps({"id": "incarnation-b"}))
+    w2 = _writer(out, str(cp))
+    w2.commit([_stage(w2, 40, seed=75)], batchId=0)
+    parts = tbl.committed_parts(out)
+    assert set(parts) - set(first) == {QUERY_STRIDE + EPOCH_STRIDE}
+    for p, m in first.items():
+        assert parts[p]["content_sha256"] == m["content_sha256"]
+    entry = _entry(out, w2)
+    assert entry["query_id"] == "incarnation-b"
+    assert entry["retired"] == [0] and entry["base"] == QUERY_STRIDE
+    # allocation claims are on disk for both regions
+    claims = sorted(n for n in os.listdir(
+        os.path.join(out, "_stream_bases")) if n.endswith(".claim"))
+    assert claims == ["b-0.claim", "b-1.claim"]
 
 
 def test_stream_writer_commit_spares_other_querys_staging(tmp_path):
@@ -161,6 +203,24 @@ def test_stream_writer_commit_spares_other_querys_staging(tmp_path):
     assert len(parts) == 2 and parts[1] - parts[0] == QUERY_STRIDE
     n = sum(m["n_rows"] for m in tbl.committed_parts(out).values())
     assert n == 55
+
+
+def test_expire_snapshots_reclaims_abandoned_staging(tmp_path):
+    out = str(tmp_path / "t")
+    tbl.init_layout(out)
+    tbl.commit_snapshot(out, operation="append", part_ids=[])
+    old = os.path.join(out, "_staging", "deadbeef00000000", "attempt1")
+    fresh = os.path.join(out, "_staging", "cafebabe00000000", "attempt2")
+    for d in (old, fresh):
+        os.makedirs(d)
+        open(os.path.join(d, "x.parquet"), "w").close()
+    ancient = 1_000_000_000.0                      # well past any grace
+    os.utime(old, (ancient, ancient))
+    res = tbl.expire_snapshots(out, keep_last=1)
+    assert res["removed_staged"] == [
+        os.path.join("deadbeef00000000", "attempt1")]
+    assert not os.path.exists(os.path.dirname(old))   # empty key dir too
+    assert os.path.exists(fresh)                      # live query spared
 
 
 # --- 5. single value past the 32-bit offset cap ----------------------------

@@ -97,15 +97,20 @@ if TYPE_CHECKING:  # pragma: no cover
 FORMAT_NAME = "vcfblocks"
 
 # Part-id namespace spacing between DISTINCT streaming queries writing
-# the same table (see BlocksStreamWriter._resolve_base): each query gets
-# a base that is a multiple of this, giving it QUERY_STRIDE/EPOCH_STRIDE
-# = 10^6 epochs before it could reach the next query's region — and
-# commit() raises loudly at that budget instead of colliding silently.
+# the same table (see BlocksStreamWriter.commit/_alloc_base): each query
+# gets a base that is a multiple of this, giving it QUERY_STRIDE/
+# EPOCH_STRIDE = 10^6 epochs before it could reach the next query's
+# region — and commit() raises loudly at that budget instead of
+# colliding silently.
 QUERY_STRIDE = 10 ** 12
-_STREAM_BASES = "stream_bases.json"   # in the table dir (single-writer):
-# checkpoint-location -> {"base": int, "last_batch": int} (a bare int is
-# the pre-r5 format), plus "_retired": [bases abandoned when a deleted-
-# and-recreated checkpoint forced a query onto fresh id space]
+# Per-query base registry: <table>/_stream_bases/q-<query key>.json
+# ({"ckpt", "base", "last_batch", "query_id", "retired": [...]}) — one
+# file per query so concurrent queries never read-modify-write each
+# other's state — plus b-<n>.claim files created O_EXCL to make base
+# allocation atomic.  The pre-r5 single-file registry is still READ
+# (taken-base accounting + entry migration), never rewritten.
+_STREAM_BASES_DIR = "_stream_bases"
+_STREAM_BASES = "stream_bases.json"   # legacy (pre-r5), read-only
 
 # Filter dataclass -> the manifest bounds-check op it prunes with.
 # Everything else (Not, StringEndsWith/Contains, ...) is simply not
@@ -145,6 +150,54 @@ def _plan(options: dict) -> tuple[dict, list[str], list[str]]:
             list(first["all_columns"]))
 
 
+def _schema_manifest(options: dict) -> dict:
+    """ONE live manifest, for schema inference — O(snapshots) + a single
+    JSON read, NOT the O(partitions) scan ``_plan`` does.  schema() runs
+    once per ``spark.read`` and its result is baked into the plan;
+    caching _plan's output there instead would (a) ship O(partitions)
+    manifest JSON inside the pickled DataSource/reader to every
+    executor and (b) pin a held DataFrame to schema-inference time —
+    so partitions() always re-plans fresh and schema() reads one file.
+    Append guards keep every live manifest's schema identical
+    (``BlocksArrowWriter.__init__``); after a schema-changing
+    overwrite, the latest snapshot's parts carry the new schema — the
+    same choice ``_plan`` makes."""
+    from vcf2parquet_spark.errors import StorageError
+
+    path = options.get("path")
+    if not path:
+        raise StorageError("vcfblocks: .load(<table path>) is required")
+    snaps = tbl.snapshots(path)
+    part_id = None
+    snapshot_id = options.get("snapshot_id")
+    if snapshot_id is not None:
+        sid = int(snapshot_id)
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        if sid not in by_id:
+            raise StorageError(
+                f"unknown snapshot {sid} under {path}; "
+                f"have {sorted(by_id)}")
+        ids = by_id[sid]["part_ids"]
+        if not ids:
+            raise StorageError(f"no committed partitions under {path}")
+        part_id = ids[0]
+    elif snaps and snaps[-1]["part_ids"]:
+        part_id = snaps[-1]["part_ids"][0]
+    if part_id is not None:
+        with open(tbl.manifest_path(path, part_id)) as f:
+            return json.load(f)
+    # no snapshot yet (or an empty live set): any committed manifest —
+    # a crashed/in-flight run's table is still schema-readable
+    mdir = os.path.join(path, tbl.MANIFEST_DIR)
+    names = sorted(
+        n for n in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+        if n.startswith("part-") and n.endswith(".json"))
+    if names:
+        with open(os.path.join(mdir, names[0])) as f:
+            return json.load(f)
+    raise StorageError(f"no committed partitions under {path}")
+
+
 def _option_columns(options: dict, base: list[str],
                     all_cols: list[str]) -> list[str]:
     from vcf2parquet_spark.errors import SchemaError
@@ -167,14 +220,10 @@ class BlocksReader(DataSourceReader):
     (post-pruning); each task decodes its file's blocks directly with
     pyarrow — the same zero-shuffle shape as ``decode()``."""
 
-    def __init__(self, schema, options: dict,
-                 planned: Optional[tuple] = None) -> None:
+    def __init__(self, schema, options: dict) -> None:
         self._options = dict(options)
         self._cols = [f.name for f in schema.fields]
         self._pruning: list[tuple[str, str, object]] = []
-        # the (manifests, ...) plan from DataSource.schema(), when that
-        # ran — saves a second O(partitions) manifest scan per query
-        self._planned = planned
 
     def pushFilters(self, filters: list[Filter]) -> list[Filter]:
         """Record bounds-checkable filters for manifest-level partition
@@ -195,12 +244,10 @@ class BlocksReader(DataSourceReader):
         return list(filters)
 
     def partitions(self) -> Sequence[InputPartition]:
-        # reuse the schema-time plan when present (one manifest scan per
-        # query, not two), then drop it: partitions() runs driver-side,
-        # and the reader object pickled to every executor must not
-        # carry O(partitions) manifest JSON
-        manifests, _, _ = self._planned or _plan(self._options)
-        self._planned = None
+        # the ONE O(partitions) manifest scan per query execution —
+        # always fresh, so a held DataFrame re-executed after new
+        # commits sees them (schema() reads a single manifest instead)
+        manifests, _, _ = _plan(self._options)
         keep = [
             pid for pid, m in sorted(manifests.items())
             if all(_part_may_match(m, c, op, v)
@@ -539,11 +586,12 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
     :meth:`commit` then assigns DETERMINISTIC final ids —
     ``query base + (batchId + 1) * EPOCH_STRIDE + task partition id``,
     the same epoch namespace as ``encode_stream`` plus a per-QUERY base
-    (``stream_bases.json``, keyed by checkpoint location) so a second
-    query with a fresh checkpoint — whose batchId restarts at 0 —
-    cannot overwrite a previous query's committed files — and
-    ``os.replace``s the staged files in.  Exactly-once follows without
-    any dedupe bookkeeping:
+    (``_stream_bases/q-<key>.json``, one file per query — concurrent
+    queries never touch each other's entry) so a second query with a
+    fresh checkpoint — whose batchId restarts at 0 — cannot overwrite
+    a previous query's committed files — and ``os.replace``s the
+    staged files in.  Exactly-once follows without any dedupe
+    bookkeeping:
 
     * a REPLAYED micro-batch (restart from the streaming checkpoint
       before its epoch committed) recomputes the SAME final ids and
@@ -551,12 +599,14 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
     * a crash mid-commit is healed by the replay finishing the same
       renames; the epoch's snapshot de-dupes itself
       (``commit_snapshot`` no-ops when the live set is unchanged);
-    * each base entry records the query's committed-batch HIGH-WATER
-      mark: a batchId BELOW it means the checkpoint at this location
-      was deleted and recreated (a legitimate replay is only ever the
-      last batch), so the entry is retired and the new incarnation
-      gets fresh id space instead of silently ``os.replace``-ing the
-      old incarnation's committed files;
+    * each base entry records the checkpoint's own identity (Spark's
+      ``<checkpoint>/metadata`` uuid, new on every checkpoint
+      CREATION) and the committed-batch high-water mark: a changed id
+      — or, when ids are unavailable, a batchId below the mark —
+      means the checkpoint was deleted and recreated, so the entry is
+      retired and the new incarnation gets fresh id space instead of
+      silently ``os.replace``-ing the old incarnation's committed
+      files;
     * failed/speculative task attempts stage under distinct uuids and
       only the reported attempt is adopted; :meth:`commit` drains THIS
       query's staging dir after its renames (which also reclaims its
@@ -603,6 +653,7 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
         tbl.init_layout(path)
         self._stage_root = os.path.join(path, "_staging", self._stage_key)
         os.makedirs(self._stage_root, exist_ok=True)
+        os.makedirs(os.path.join(path, _STREAM_BASES_DIR), exist_ok=True)
         # NOTE: no staging purge here — Spark instantiates this writer
         # MORE than once per query (micro-batch planner and the lazy
         # commit runner), including AFTER tasks have already staged
@@ -636,26 +687,87 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
                           staged_data=tbl.data_path(staging, pid),
                           manifest_json=manifest_json, n_rows=s["n_rows"])
 
-    @staticmethod
-    def _parse_entry(entry) -> tuple[int, int]:
-        """(base, last committed batchId) from a ``stream_bases.json``
-        entry; a bare int is the pre-r5 format (no high-water mark)."""
-        if isinstance(entry, dict):
-            return int(entry["base"]), int(entry.get("last_batch", -1))
-        return int(entry), -1
+    def _query_id(self) -> Optional[str]:
+        """The checkpoint's own identity: Spark writes
+        ``<checkpoint>/metadata`` = ``{"id": "<uuid>"}`` once, when the
+        checkpoint is CREATED — so a deleted-and-recreated checkpoint
+        at the same path carries a NEW id, which is how commit() tells
+        a new incarnation from a legitimate replay.  None when
+        unreadable (non-local checkpoint path; the batch-counter
+        heuristic still applies)."""
+        try:
+            with open(os.path.join(self._ckpt, "metadata")) as f:
+                return json.load(f).get("id")
+        except (OSError, ValueError):
+            return None
 
-    def _read_bases(self) -> tuple[dict, str]:
-        bases_path = os.path.join(self._path, _STREAM_BASES)
-        if os.path.exists(bases_path):
-            with open(bases_path) as f:
-                return json.load(f), bases_path
-        return {}, bases_path
+    def _entry_path(self) -> str:
+        return os.path.join(self._path, _STREAM_BASES_DIR,
+                            f"q-{self._stage_key}.json")
 
-    def _alloc_base(self, bases: dict) -> int:
+    def _read_entry(self) -> Optional[dict]:
+        """This query's base entry: its own ``q-<key>.json``, else a
+        legacy ``stream_bases.json`` record (migrated to the per-query
+        file on the next write)."""
+        try:
+            with open(self._entry_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            pass
+        legacy = os.path.join(self._path, _STREAM_BASES)
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                entries = json.load(f)
+            e = entries.get(self._ckpt)
+            if e is not None:
+                base, last = ((int(e["base"]),
+                               int(e.get("last_batch", -1)))
+                              if isinstance(e, dict) else (int(e), -1))
+                return {"base": base, "last_batch": last,
+                        "query_id": None, "retired": []}
+        return None
+
+    def _write_entry(self, base: int, last_batch: int,
+                     query_id: Optional[str],
+                     retired: list[int]) -> None:
+        tbl.atomic_write_bytes(
+            self._entry_path(),
+            json.dumps({"ckpt": self._ckpt, "base": base,
+                        "last_batch": last_batch, "query_id": query_id,
+                        "retired": retired},
+                       sort_keys=True, indent=1).encode())
+
+    def _alloc_base(self) -> int:
         """Smallest multiple of QUERY_STRIDE that (a) no query holds —
-        current or retired — and (b) clears every part id already
-        committed to the table, so the new query (or new incarnation)
-        lands in untouched id space instead of overwriting files."""
+        current or retired, across every per-query entry, claim file,
+        and the legacy registry — and (b) clears every part id already
+        committed to the table, so a new query (or new incarnation)
+        lands in untouched id space instead of overwriting files.
+        The O_CREAT|O_EXCL claim file makes the allocation atomic
+        against a concurrent query allocating in the same instant."""
+        bdir = os.path.join(self._path, _STREAM_BASES_DIR)
+        os.makedirs(bdir, exist_ok=True)
+        taken: set[int] = set()
+        for name in os.listdir(bdir):
+            if name.startswith("b-") and name.endswith(".claim"):
+                taken.add(int(name[2:-6]) * QUERY_STRIDE)
+            elif name.startswith("q-") and name.endswith(".json"):
+                try:
+                    with open(os.path.join(bdir, name)) as f:
+                        e = json.load(f)
+                    taken.add(int(e["base"]))
+                    taken.update(int(b) for b in e.get("retired", []))
+                except (OSError, ValueError):
+                    pass
+        legacy = os.path.join(self._path, _STREAM_BASES)
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                for k, e in json.load(f).items():
+                    if k == "_retired":
+                        taken.update(int(b) for b in e)
+                    else:
+                        taken.add(int(e["base"]) if isinstance(e, dict)
+                                  else int(e))
         max_committed = -1
         mdir = os.path.join(self._path, tbl.MANIFEST_DIR)
         if os.path.isdir(mdir):
@@ -663,13 +775,17 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
                 if name.startswith("part-") and name.endswith(".json"):
                     max_committed = max(max_committed,
                                         int(name[5:-5]))
-        taken = {self._parse_entry(e)[0]
-                 for k, e in bases.items() if k != "_retired"}
-        taken |= {int(b) for b in bases.get("_retired", [])}
         cand = 0
-        while cand in taken or cand + self._stride <= max_committed:
-            cand += QUERY_STRIDE
-        return cand
+        while True:
+            while cand in taken or cand + self._stride <= max_committed:
+                cand += QUERY_STRIDE
+            claim = os.path.join(bdir, f"b-{cand // QUERY_STRIDE}.claim")
+            try:
+                os.close(os.open(claim,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                return cand
+            except FileExistsError:
+                taken.add(cand)
 
     def commit(self, messages: List[Optional[StagedPart]],
                batchId: int) -> None:
@@ -683,36 +799,42 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
                 f"its part-id region ({QUERY_STRIDE // self._stride:,} "
                 f"epochs) on table {self._path}; start a new query "
                 "with a fresh checkpoint to continue")
-        # Resolve this query's part-id base (single-writer read-modify-
-        # write, as everywhere in the table layout).  The reservation is
-        # persisted BEFORE any rename: a crash after renames re-reads
-        # the same entry on replay and recomputes the SAME final ids.
-        bases, bases_path = self._read_bases()
-        entry = bases.get(self._ckpt)
-        retired: list[int] = []
+        # Resolve this query's part-id base from ITS OWN entry file
+        # (concurrent queries on the same table never read-modify-write
+        # each other's state).  The reservation is persisted BEFORE any
+        # rename: a crash after renames re-reads the same entry on
+        # replay and recomputes the SAME final ids.
+        qid = self._query_id()
+        entry = self._read_entry()
         if entry is None:
-            base, last = self._alloc_base(bases), -1
+            base, last, retired = self._alloc_base(), -1, []
+            self._write_entry(base, last, qid, retired)
         else:
-            base, last = self._parse_entry(entry)
-            if batchId < last:
-                # The checkpoint at this location was deleted and
-                # recreated: batchId restarted below the high-water
-                # mark (a legitimate replay is only ever the LAST
-                # batch).  Reusing the base would re-derive the first
-                # incarnation's final ids and os.replace() its
-                # committed files with different rows.  Retire the old
-                # base — it stays reserved so a third incarnation
-                # cannot land on it either — and move to fresh space.
-                retired = [base]
-                base, last = self._alloc_base(bases), -1
-        if entry is None or retired:
-            if retired:
-                bases["_retired"] = (
-                    list(bases.get("_retired", [])) + retired)
-            bases[self._ckpt] = {"base": base, "last_batch": last}
-            tbl.atomic_write_bytes(
-                bases_path,
-                json.dumps(bases, sort_keys=True, indent=1).encode())
+            base = int(entry["base"])
+            last = int(entry.get("last_batch", -1))
+            retired = [int(b) for b in entry.get("retired", [])]
+            stored = entry.get("query_id")
+            # A deleted-and-recreated checkpoint at the same location:
+            # its metadata carries a NEW query id (written once at
+            # checkpoint creation) — or, when ids are unavailable,
+            # batchId restarts BELOW the high-water mark (a legitimate
+            # replay is only ever the last batch; note the counter
+            # alone cannot see a recreation replaying batch 0 over a
+            # one-batch incarnation, which is why the id check leads).
+            # Reusing the base would re-derive the first incarnation's
+            # final ids and os.replace() its committed files with
+            # different rows.  Retire the old base — it stays reserved
+            # so a later incarnation cannot land on it either — and
+            # move to fresh id space.
+            if (qid is not None and stored is not None
+                    and qid != stored) or batchId < last:
+                retired.append(base)
+                base, last = self._alloc_base(), -1
+                self._write_entry(base, last, qid, retired)
+            elif stored is None and qid is not None:
+                # adopt the identity (legacy entry, or a first commit
+                # that raced the checkpoint-metadata write)
+                self._write_entry(base, last, qid, retired)
         staged = sorted((m for m in messages
                          if m is not None and m.staged_dir is not None),
                         key=lambda m: m.task_pid)
@@ -724,20 +846,18 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
             os.replace(m.staged_data, tbl.data_path(self._path, final_id))
             tbl.commit_manifest(self._path, final_id, manifest)
         # advance the high-water mark now that the epoch's files are in
-        bases[self._ckpt] = {"base": base,
-                             "last_batch": max(last, batchId)}
-        tbl.atomic_write_bytes(
-            bases_path,
-            json.dumps(bases, sort_keys=True, indent=1).encode())
+        self._write_entry(base, max(last, batchId), qid, retired)
         # drain THIS query's staging dir: adopted files were renamed out
         # above; whatever remains is a superseded speculative attempt or
         # a crashed earlier epoch's leftovers (epochs are serial within
         # a query, so no in-flight task of ours can still be writing
         # here — and another query's staged files live under its own
-        # key, untouched)
-        for d in os.listdir(self._stage_root):
-            shutil.rmtree(os.path.join(self._stage_root, d),
-                          ignore_errors=True)
+        # key, untouched; an ABANDONED query's dir is reclaimed by
+        # ``table.expire_snapshots``'s staging grace sweep)
+        if os.path.isdir(self._stage_root):
+            for d in os.listdir(self._stage_root):
+                shutil.rmtree(os.path.join(self._stage_root, d),
+                              ignore_errors=True)
         snap = tbl.commit_snapshot(self._path, operation="stream_epoch",
                                    wall_time=time.time())
         tbl.write_table_meta(self._path, {
@@ -776,19 +896,15 @@ class BlocksDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> str:
-        self._planned = _plan(self.options)
-        manifests, base, all_cols = self._planned
-        cols = _option_columns(self.options, base, all_cols)
-        first = next(iter(manifests.values()))
+        m = _schema_manifest(self.options)
+        cols = _option_columns(self.options, list(m["schema_columns"]),
+                               list(m["all_columns"]))
         return ", ".join(
-            f"`{c}` {_SPARK_TYPES[first['profiles'][c]['type']]}"
+            f"`{c}` {_SPARK_TYPES[m['profiles'][c]['type']]}"
             for c in cols)
 
     def reader(self, schema) -> BlocksReader:
-        # hand the schema-time plan to the reader (None when the caller
-        # supplied an explicit schema and schema() never ran)
-        return BlocksReader(schema, self.options,
-                            getattr(self, "_planned", None))
+        return BlocksReader(schema, self.options)
 
     def writer(self, schema, overwrite: bool) -> BlocksArrowWriter:
         return BlocksArrowWriter(schema, self.options, overwrite)

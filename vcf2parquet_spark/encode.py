@@ -516,6 +516,9 @@ def _block_bounds(t: pa.Table, batch_size: int,
     ``profile._entropy_sample`` (see the note on the former)."""
     import numpy as np
     n = t.num_rows
+    # the 32-bit offset framing is a hard downstream constraint, so a
+    # user-raised block_bytes can never loosen the cut past _I32_CAP
+    eff = min(block_bytes, _I32_CAP)
     cums = []
     for name in t.column_names:
         c = t.column(name)
@@ -526,15 +529,15 @@ def _block_bounds(t: pa.Table, batch_size: int,
                              pa.scalar(0, pa.int64()))
             cum = np.zeros(n + 1, np.int64)
             np.cumsum(ln.to_numpy(zero_copy_only=False), out=cum[1:])
-            if int(cum[-1]) > block_bytes:  # can this column overflow at all?
+            if int(cum[-1]) > eff:  # can this column overflow at all?
                 cums.append((name, cum))
     bounds = []
     lo = 0
     while lo < n:
         hi = min(lo + batch_size, n)
         for _, cum in cums:
-            if cum[hi] - cum[lo] > block_bytes:
-                h = int(np.searchsorted(cum, cum[lo] + block_bytes,
+            if cum[hi] - cum[lo] > eff:
+                h = int(np.searchsorted(cum, cum[lo] + eff,
                                         side="right")) - 1
                 hi = min(hi, max(lo + 1, h))  # ≥1 row: a single giant
                 #                               value can't be split

@@ -36,15 +36,19 @@ from vcf2parquet_spark.decode import decode
 from vcf2parquet_spark.encode import EncodeOptions, encode
 
 
-def abandon_pending_rewrites(output: str) -> list[int]:
+def abandon_pending_rewrites(output: str,
+                             ever: set[int] | None = None) -> list[int]:
     """Delete committed-but-unsnapshotted ``pending_rewrite`` partitions
     (the leftovers of a crashed compaction — duplicates of live rows
     that no snapshot references and no reader can see).  Returns the
-    reclaimed part ids."""
+    reclaimed part ids.  ``ever`` = the union of all snapshots'
+    part_ids, passable by callers that already scanned the log (the
+    scan is O(snapshots) — one file per streaming epoch)."""
     manifests = tbl.committed_parts(output)
-    ever: set[int] = set()
-    for s in tbl.snapshots(output):
-        ever.update(s["part_ids"])
+    if ever is None:
+        ever = set()
+        for s in tbl.snapshots(output):
+            ever.update(s["part_ids"])
     stale = sorted(p for p, m in manifests.items()
                    if m.get("pending_rewrite") and p not in ever)
     for p in stale:
@@ -60,7 +64,10 @@ def compact(spark: SparkSession, output: str,
     """Rewrite partitions smaller than ``min_fill * target_rows`` into
     full-size ones.  Returns a summary; no-op if fewer than two
     undersized partitions exist (nothing to merge)."""
-    abandoned = abandon_pending_rewrites(output)
+    ever: set[int] = set()
+    for s in tbl.snapshots(output):
+        ever.update(s["part_ids"])
+    abandoned = abandon_pending_rewrites(output, ever=ever)
     live = tbl.live_parts(output)
     small = sorted(p for p, m in live.items()
                    if m["n_rows"] < target_rows * min_fill)
@@ -74,9 +81,6 @@ def compact(spark: SparkSession, output: str,
     # (crashed run: manifest committed, never snapshotted), its rows
     # were never delivered — adopt the live set with one ordinary
     # snapshot first so the tail emits them, then rewrite.
-    ever: set[int] = set()
-    for s in tbl.snapshots(output):
-        ever.update(s["part_ids"])
     if any(p not in ever for p in small):
         tbl.commit_snapshot(output, operation="append",
                             wall_time=time.time())

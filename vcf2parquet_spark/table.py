@@ -244,12 +244,23 @@ def commit_snapshot(output: str, operation: str,
     return snap
 
 
-def expire_snapshots(output: str, keep_last: int = 1) -> dict:
+def expire_snapshots(output: str, keep_last: int = 1,
+                     staging_grace_hours: float = 24.0) -> dict:
     """Drop all but the last ``keep_last`` snapshots and DELETE data/
     manifest files no snapshot references anymore (Iceberg
     ``expire_snapshots`` analogue — reclaims compacted-away storage;
-    time travel remains available within the kept window)."""
+    time travel remains available within the kept window).
+
+    Also reclaims ``_staging/<query>/<attempt>`` dirs older than
+    ``staging_grace_hours`` — staged-but-uncommitted output of streaming
+    queries that died and were never restarted (a live query's epoch
+    commit drains only its OWN staging dir, so nothing else ever
+    deletes an abandoned query's leftovers).  A live query's staged
+    files are minutes old at most when its epoch commits, far inside
+    any sane grace."""
     import os as _os
+    import shutil as _shutil
+    import time as _time
 
     snaps = snapshots(output)
     if not snaps:   # nothing to expire; never delete an unsnapshotted table
@@ -277,6 +288,27 @@ def expire_snapshots(output: str, keep_last: int = 1) -> dict:
                 _os.remove(path)
     for s in drop:
         _os.remove(snapshot_path(output, s["snapshot_id"]))
+    removed_staged: list[str] = []
+    sroot = _os.path.join(output, "_staging")
+    if _os.path.isdir(sroot):
+        cutoff = _time.time() - staging_grace_hours * 3600
+        for key in _os.listdir(sroot):
+            kdir = _os.path.join(sroot, key)
+            if not _os.path.isdir(kdir):
+                continue
+            for att in _os.listdir(kdir):
+                d = _os.path.join(kdir, att)
+                try:
+                    if _os.path.getmtime(d) < cutoff:
+                        _shutil.rmtree(d, ignore_errors=True)
+                        removed_staged.append(_os.path.join(key, att))
+                except OSError:
+                    pass
+            try:
+                _os.rmdir(kdir)        # only succeeds once empty
+            except OSError:
+                pass
     return {"expired_snapshots": [s["snapshot_id"] for s in drop],
             "removed_parts": removed_parts,
+            "removed_staged": removed_staged,
             "kept_snapshots": [s["snapshot_id"] for s in keep]}
