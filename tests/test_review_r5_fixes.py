@@ -210,17 +210,38 @@ def test_expire_snapshots_reclaims_abandoned_staging(tmp_path):
     tbl.init_layout(out)
     tbl.commit_snapshot(out, operation="append", part_ids=[])
     old = os.path.join(out, "_staging", "deadbeef00000000", "attempt1")
+    slow = os.path.join(out, "_staging", "feedface00000000", "attempt3")
     fresh = os.path.join(out, "_staging", "cafebabe00000000", "attempt2")
-    for d in (old, fresh):
+    for d in (old, slow, fresh):
         os.makedirs(d)
         open(os.path.join(d, "x.parquet"), "w").close()
     ancient = 1_000_000_000.0                      # well past any grace
     os.utime(old, (ancient, ancient))
+    os.utime(os.path.join(old, "x.parquet"), (ancient, ancient))
+    # a slow epoch: the dir is ancient but a file landed just now —
+    # the sweep keys on the NEWEST mtime in the tree, so it survives
+    os.utime(slow, (ancient, ancient))
     res = tbl.expire_snapshots(out, keep_last=1)
     assert res["removed_staged"] == [
         os.path.join("deadbeef00000000", "attempt1")]
     assert not os.path.exists(os.path.dirname(old))   # empty key dir too
-    assert os.path.exists(fresh)                      # live query spared
+    assert os.path.exists(fresh) and os.path.exists(slow)
+
+
+def test_expire_snapshots_sweeps_staging_without_snapshots(tmp_path):
+    out = str(tmp_path / "t")
+    tbl.init_layout(out)                   # no snapshot ever committed
+    dead = os.path.join(out, "_staging", "0badc0de00000000", "attempt")
+    os.makedirs(dead)
+    p = os.path.join(dead, "x.parquet")
+    open(p, "w").close()
+    os.utime(dead, (1e9, 1e9))
+    os.utime(p, (1e9, 1e9))
+    res = tbl.expire_snapshots(out)
+    assert res["expired_snapshots"] == [] and res["removed_parts"] == []
+    assert res["removed_staged"] == [
+        os.path.join("0badc0de00000000", "attempt")]
+    assert not os.path.exists(dead)
 
 
 # --- 5. single value past the 32-bit offset cap ----------------------------

@@ -167,22 +167,30 @@ def _schema_manifest(options: dict) -> dict:
     path = options.get("path")
     if not path:
         raise StorageError("vcfblocks: .load(<table path>) is required")
-    snaps = tbl.snapshots(path)
-    part_id = None
+    # address ONE snapshot file directly — parsing the whole log would
+    # be O(snapshots) json loads, worse than the _plan scan this
+    # function avoids on a streaming table (one snapshot per epoch)
+    sdir = os.path.join(path, tbl.SNAPSHOT_DIR)
+    names = [n for n in (os.listdir(sdir) if os.path.isdir(sdir) else [])
+             if n.startswith("snap-") and n.endswith(".json")]
+    snap = None
     snapshot_id = options.get("snapshot_id")
     if snapshot_id is not None:
         sid = int(snapshot_id)
-        by_id = {s["snapshot_id"]: s for s in snaps}
-        if sid not in by_id:
+        sp = tbl.snapshot_path(path, sid)
+        if not os.path.exists(sp):
             raise StorageError(
                 f"unknown snapshot {sid} under {path}; "
-                f"have {sorted(by_id)}")
-        ids = by_id[sid]["part_ids"]
-        if not ids:
+                f"have {sorted(int(n[5:-5]) for n in names)}")
+        with open(sp) as f:
+            snap = json.load(f)
+        if not snap["part_ids"]:
             raise StorageError(f"no committed partitions under {path}")
-        part_id = ids[0]
-    elif snaps and snaps[-1]["part_ids"]:
-        part_id = snaps[-1]["part_ids"][0]
+    elif names:
+        latest = max(names, key=lambda n: int(n[5:-5]))
+        with open(os.path.join(sdir, latest)) as f:
+            snap = json.load(f)
+    part_id = snap["part_ids"][0] if snap and snap["part_ids"] else None
     if part_id is not None:
         with open(tbl.manifest_path(path, part_id)) as f:
             return json.load(f)
@@ -708,12 +716,17 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
     def _read_entry(self) -> Optional[dict]:
         """This query's base entry: its own ``q-<key>.json``, else a
         legacy ``stream_bases.json`` record (migrated to the per-query
-        file on the next write)."""
+        file on the next write).  Only a MISSING q-file falls through
+        to the legacy registry — any other read/parse failure raises,
+        because acting on a stale legacy record (or allocating fresh)
+        while a newer entry exists can resurrect a retired base."""
         try:
-            with open(self._entry_path()) as f:
-                return json.load(f)
-        except (OSError, ValueError):
+            f = open(self._entry_path())
+        except FileNotFoundError:
             pass
+        else:
+            with f:
+                return json.load(f)
         legacy = os.path.join(self._path, _STREAM_BASES)
         if os.path.exists(legacy):
             with open(legacy) as f:
@@ -810,10 +823,15 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
             base, last, retired = self._alloc_base(), -1, []
             self._write_entry(base, last, qid, retired)
         else:
+            stored = entry.get("query_id")
+            # a transient metadata-read failure must not erase a stored
+            # identity (that would downgrade recreation detection to
+            # the counter heuristic for good)
+            if qid is None:
+                qid = stored
             base = int(entry["base"])
             last = int(entry.get("last_batch", -1))
             retired = [int(b) for b in entry.get("retired", [])]
-            stored = entry.get("query_id")
             # A deleted-and-recreated checkpoint at the same location:
             # its metadata carries a NEW query id (written once at
             # checkpoint creation) — or, when ids are unavailable,

@@ -262,9 +262,43 @@ def expire_snapshots(output: str, keep_last: int = 1,
     import shutil as _shutil
     import time as _time
 
+    def _sweep_staging() -> list[str]:
+        removed: list[str] = []
+        sroot = _os.path.join(output, "_staging")
+        if not _os.path.isdir(sroot):
+            return removed
+        cutoff = _time.time() - staging_grace_hours * 3600
+        for key in _os.listdir(sroot):
+            kdir = _os.path.join(sroot, key)
+            if not _os.path.isdir(kdir):
+                continue
+            for att in _os.listdir(kdir):
+                d = _os.path.join(kdir, att)
+                try:
+                    # NEWEST mtime anywhere in the attempt tree: the
+                    # dir's own mtime reflects creation, and a slow
+                    # epoch's files keep landing long after that
+                    newest = _os.path.getmtime(d)
+                    for root, _, files in _os.walk(d):
+                        for fn in files:
+                            newest = max(newest, _os.path.getmtime(
+                                _os.path.join(root, fn)))
+                    if newest < cutoff:
+                        _shutil.rmtree(d, ignore_errors=True)
+                        removed.append(_os.path.join(key, att))
+                except OSError:
+                    pass
+            try:
+                _os.rmdir(kdir)        # only succeeds once empty
+            except OSError:
+                pass
+        return removed
+
     snaps = snapshots(output)
-    if not snaps:   # nothing to expire; never delete an unsnapshotted table
+    if not snaps:   # nothing to expire; never delete an unsnapshotted
+        #             table's DATA — abandoned staging is still swept
         return {"expired_snapshots": [], "removed_parts": [],
+                "removed_staged": _sweep_staging(),
                 "kept_snapshots": []}
     keep = snaps[-max(keep_last, 1):]   # always keep at least the latest
     drop = snaps[: len(snaps) - len(keep)]
@@ -288,27 +322,7 @@ def expire_snapshots(output: str, keep_last: int = 1,
                 _os.remove(path)
     for s in drop:
         _os.remove(snapshot_path(output, s["snapshot_id"]))
-    removed_staged: list[str] = []
-    sroot = _os.path.join(output, "_staging")
-    if _os.path.isdir(sroot):
-        cutoff = _time.time() - staging_grace_hours * 3600
-        for key in _os.listdir(sroot):
-            kdir = _os.path.join(sroot, key)
-            if not _os.path.isdir(kdir):
-                continue
-            for att in _os.listdir(kdir):
-                d = _os.path.join(kdir, att)
-                try:
-                    if _os.path.getmtime(d) < cutoff:
-                        _shutil.rmtree(d, ignore_errors=True)
-                        removed_staged.append(_os.path.join(key, att))
-                except OSError:
-                    pass
-            try:
-                _os.rmdir(kdir)        # only succeeds once empty
-            except OSError:
-                pass
     return {"expired_snapshots": [s["snapshot_id"] for s in drop],
             "removed_parts": removed_parts,
-            "removed_staged": removed_staged,
+            "removed_staged": _sweep_staging(),
             "kept_snapshots": [s["snapshot_id"] for s in keep]}
