@@ -190,6 +190,35 @@ def test_stream_writer_recreated_checkpoint_query_id(tmp_path):
     assert claims == ["b-0.claim", "b-1.claim"]
 
 
+def test_stream_writer_counter_retire_does_not_keep_old_identity(
+        tmp_path):
+    """A counter-detected recreation with unreadable metadata must
+    persist identity=None on the new base — stamping the OLD id there
+    would fire a second, spurious retire once the metadata reads
+    again."""
+    out = str(tmp_path / "t")
+    cp = tmp_path / "cp"
+    cp.mkdir()
+    (cp / "metadata").write_text(json.dumps({"id": "gen-1"}))
+    w1 = _writer(out, str(cp))
+    w1.commit([_stage(w1, 30, seed=76)], batchId=0)
+    w1.commit([_stage(w1, 30, seed=77)], batchId=1)
+    # recreation, metadata not yet readable: counter heuristic fires
+    (cp / "metadata").unlink()
+    w2 = _writer(out, str(cp))
+    w2.commit([_stage(w2, 20, seed=78)], batchId=0)
+    e = _entry(out, w2)
+    assert e["base"] == QUERY_STRIDE and e["retired"] == [0]
+    assert e["query_id"] is None          # NOT "gen-1"
+    # metadata becomes readable: the new id is adopted, no new retire
+    (cp / "metadata").write_text(json.dumps({"id": "gen-2"}))
+    w3 = _writer(out, str(cp))
+    w3.commit([_stage(w3, 20, seed=79)], batchId=1)
+    e = _entry(out, w3)
+    assert e["base"] == QUERY_STRIDE and e["retired"] == [0]
+    assert e["query_id"] == "gen-2" and e["last_batch"] == 1
+
+
 def test_stream_writer_commit_spares_other_querys_staging(tmp_path):
     out = str(tmp_path / "t")
     wa = _writer(out, str(tmp_path / "cpA"))

@@ -170,25 +170,21 @@ def _schema_manifest(options: dict) -> dict:
     # address ONE snapshot file directly — parsing the whole log would
     # be O(snapshots) json loads, worse than the _plan scan this
     # function avoids on a streaming table (one snapshot per epoch)
-    sdir = os.path.join(path, tbl.SNAPSHOT_DIR)
-    names = [n for n in (os.listdir(sdir) if os.path.isdir(sdir) else [])
-             if n.startswith("snap-") and n.endswith(".json")]
+    files = dict(tbl.snapshot_files(path))
     snap = None
     snapshot_id = options.get("snapshot_id")
     if snapshot_id is not None:
         sid = int(snapshot_id)
-        sp = tbl.snapshot_path(path, sid)
-        if not os.path.exists(sp):
+        if sid not in files:
             raise StorageError(
                 f"unknown snapshot {sid} under {path}; "
-                f"have {sorted(int(n[5:-5]) for n in names)}")
-        with open(sp) as f:
+                f"have {sorted(files)}")
+        with open(files[sid]) as f:
             snap = json.load(f)
         if not snap["part_ids"]:
             raise StorageError(f"no committed partitions under {path}")
-    elif names:
-        latest = max(names, key=lambda n: int(n[5:-5]))
-        with open(os.path.join(sdir, latest)) as f:
+    elif files:
+        with open(files[max(files)]) as f:
             snap = json.load(f)
     part_id = snap["part_ids"][0] if snap and snap["part_ids"] else None
     if part_id is not None:
@@ -821,17 +817,13 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
         entry = self._read_entry()
         if entry is None:
             base, last, retired = self._alloc_base(), -1, []
-            self._write_entry(base, last, qid, retired)
+            ident = qid
+            self._write_entry(base, last, ident, retired)
         else:
-            stored = entry.get("query_id")
-            # a transient metadata-read failure must not erase a stored
-            # identity (that would downgrade recreation detection to
-            # the counter heuristic for good)
-            if qid is None:
-                qid = stored
             base = int(entry["base"])
             last = int(entry.get("last_batch", -1))
             retired = [int(b) for b in entry.get("retired", [])]
+            ident = entry.get("query_id")
             # A deleted-and-recreated checkpoint at the same location:
             # its metadata carries a NEW query id (written once at
             # checkpoint creation) — or, when ids are unavailable,
@@ -844,15 +836,23 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
             # different rows.  Retire the old base — it stays reserved
             # so a later incarnation cannot land on it either — and
             # move to fresh id space.
-            if (qid is not None and stored is not None
-                    and qid != stored) or batchId < last:
+            if (qid is not None and ident is not None
+                    and qid != ident) or batchId < last:
                 retired.append(base)
                 base, last = self._alloc_base(), -1
-                self._write_entry(base, last, qid, retired)
-            elif stored is None and qid is not None:
+                # the NEW incarnation's identity if readable; when the
+                # counter caught the recreation with metadata unreadable
+                # this is None — never the OLD id, which would fire a
+                # second (spurious) retire once the metadata reads again
+                ident = qid
+                self._write_entry(base, last, ident, retired)
+            elif ident is None and qid is not None:
                 # adopt the identity (legacy entry, or a first commit
                 # that raced the checkpoint-metadata write)
-                self._write_entry(base, last, qid, retired)
+                ident = qid
+                self._write_entry(base, last, ident, retired)
+            # qid None with ident stored: a transient metadata-read
+            # failure — keep the stored identity, never erase it
         staged = sorted((m for m in messages
                          if m is not None and m.staged_dir is not None),
                         key=lambda m: m.task_pid)
@@ -864,7 +864,7 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
             os.replace(m.staged_data, tbl.data_path(self._path, final_id))
             tbl.commit_manifest(self._path, final_id, manifest)
         # advance the high-water mark now that the epoch's files are in
-        self._write_entry(base, max(last, batchId), qid, retired)
+        self._write_entry(base, max(last, batchId), ident, retired)
         # drain THIS query's staging dir: adopted files were renamed out
         # above; whatever remains is a superseded speculative attempt or
         # a crashed earlier epoch's leftovers (epochs are serial within

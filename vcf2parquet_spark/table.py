@@ -154,20 +154,28 @@ def snapshot_path(output: str, snapshot_id: int) -> str:
     return os.path.join(output, SNAPSHOT_DIR, f"snap-{snapshot_id:05d}.json")
 
 
-def snapshots(output: str) -> list[dict]:
-    """All snapshots, oldest first — ordered by NUMERIC id, not
-    filename: ``snap-{id:05d}`` names sort lexicographically wrong past
-    99,999 (``snap-100000`` < ``snap-99999``), a regime the streaming
-    sink's one-snapshot-per-epoch cadence reaches long before its
-    10^6-epoch budget."""
+def snapshot_files(output: str) -> list[tuple[int, str]]:
+    """(snapshot_id, path) for every snapshot on disk, ordered by
+    NUMERIC id — not filename: ``snap-{id:05d}`` names sort
+    lexicographically wrong past 99,999 (``snap-100000`` <
+    ``snap-99999``), a regime the streaming sink's one-snapshot-per-
+    epoch cadence reaches long before its 10^6-epoch budget.  The one
+    place the ``snap-<id>.json`` naming is parsed back (callers that
+    need only the latest — or one id — read one file instead of the
+    whole log)."""
     sdir = os.path.join(output, SNAPSHOT_DIR)
     if not os.path.isdir(sdir):
         return []
-    names = [n for n in os.listdir(sdir)
-             if n.startswith("snap-") and n.endswith(".json")]
+    return sorted(
+        (int(n[5:-5]), os.path.join(sdir, n)) for n in os.listdir(sdir)
+        if n.startswith("snap-") and n.endswith(".json"))
+
+
+def snapshots(output: str) -> list[dict]:
+    """All snapshots, oldest first."""
     out = []
-    for name in sorted(names, key=lambda n: int(n[5:-5])):
-        with open(os.path.join(sdir, name)) as f:
+    for _, path in snapshot_files(output):
+        with open(path) as f:
             out.append(json.load(f))
     return out
 
