@@ -281,7 +281,7 @@ def test_single_giant_value_raises_schema_error(monkeypatch):
                                         type=pa.large_string())})
     with pytest.raises(SchemaError, match="per-value limit"):
         enc._content_digest(big)
-    with pytest.raises(SchemaError, match="content.*per-value limit"):
+    with pytest.raises(SchemaError, match="content.*framing limit"):
         enc._block_bounds(big, batch_size=10, block_bytes=50)
     # values under the cap still pass (the clamp itself is fine)
     ok = pa.table({"content": pa.array(["x" * 90, "y" * 90],
@@ -289,3 +289,52 @@ def test_single_giant_value_raises_schema_error(monkeypatch):
     assert enc._content_digest(ok)
     assert enc._block_bounds(ok, batch_size=10, block_bytes=50) == \
         [(0, 1), (1, 2)]
+
+
+def test_block_bounds_caps_list_columns(monkeypatch):
+    """List columns ride the same 32-bit framing as strings: child
+    BYTES cut blocks, and child COUNT is capped for the kernels'
+    checked int32 list offsets."""
+    monkeypatch.setattr(enc, "_I32_CAP", 100)
+    # child bytes: two rows of 60 child-bytes each must split
+    t = pa.table({"toks": pa.array([["x" * 30, "y" * 30],
+                                    ["z" * 60]])})
+    assert enc._block_bounds(t, batch_size=10, block_bytes=10 ** 9) == \
+        [(0, 1), (1, 2)]
+    monkeypatch.setattr(enc, "_I32_ELEMS", 4)
+    t2 = pa.table({"ids": pa.array([[1, 2, 3], [4, 5], [6]])})
+    assert enc._block_bounds(t2, batch_size=10, block_bytes=10 ** 9) == \
+        [(0, 1), (1, 3)]
+    # a single row over the child-count cap is unencodable
+    t3 = pa.table({"ids": pa.array([[1, 2, 3, 4, 5, 6]])})
+    with pytest.raises(SchemaError, match="framing limit"):
+        enc._block_bounds(t3, batch_size=10, block_bytes=10 ** 9)
+
+
+def test_blocks_table_chunks_past_payload_cap(monkeypatch):
+    """A work unit whose encoded payloads sum past the int32 cap builds
+    the blocks table CHUNKED instead of raising ArrowCapacityError."""
+    monkeypatch.setattr(enc, "_I32_CAP", 100)
+    payloads = [b"a" * 60, b"b" * 60, b"c" * 60]
+    rows = {"part_id": [1, 1, 1], "block_idx": [0, 1, 2],
+            "column": ["content"] * 3, "codec": ["plain"] * 3,
+            "n_rows": [5, 5, 5], "raw_bytes": [60, 60, 60],
+            "enc_bytes": [60, 60, 60], "meta": ["{}"] * 3,
+            "data": payloads}
+    t = enc._blocks_table(rows)
+    assert t.column("data").num_chunks > 1
+    assert t.column("data").to_pylist() == payloads     # order preserved
+    assert t.column("block_idx").to_pylist() == [0, 1, 2]
+    # small units keep the single-chunk fast path
+    small = {k: v[:1] for k, v in rows.items()}
+    assert enc._blocks_table(small).column("data").num_chunks == 1
+
+
+def test_str_from_buffers_rejects_offset_overflow():
+    import numpy as np
+
+    from vcf2parquet_spark.errors import CodecError
+    from vcf2parquet_spark.kernels.codecs import str_from_buffers
+    offsets = np.array([0, 10, (1 << 31) + 5], np.int64)
+    with pytest.raises(CodecError, match="overflow int32"):
+        str_from_buffers(np.zeros(16, np.uint8), offsets)

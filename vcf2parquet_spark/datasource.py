@@ -89,7 +89,11 @@ from pyspark.sql.datasource import (
 )
 
 from vcf2parquet_spark import table as tbl
-from vcf2parquet_spark.decode import _SPARK_TYPES, _part_may_match
+from vcf2parquet_spark.decode import (
+    _SPARK_TYPES,
+    _part_may_match,
+    read_blocks_file,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
@@ -265,41 +269,7 @@ class BlocksReader(DataSourceReader):
         # partition=None — an empty scan, not an error
         if partition is None:
             return iter(())
-        return _read_blocks_file(partition.value, self._cols)
-
-
-def _read_blocks_file(path: str, cols: list[str]
-                      ) -> Iterator["pa.RecordBatch"]:
-    """Decode one committed blocks file into RecordBatches — the shared
-    executor-side read for the batch and streaming readers (same
-    zero-shuffle shape as ``decode()``)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    import vcf2parquet_spark._alloc  # noqa: F401 (worker mallopt)
-    from vcf2parquet_spark.encode import _pin_arrow
-    from vcf2parquet_spark.kernels import decode_column
-    _pin_arrow(2)
-
-    t = pq.read_table(
-        path,
-        columns=["block_idx", "column", "meta", "data"],
-        filters=[("column", "in", cols)])
-    bidx = t.column("block_idx").to_numpy()
-    names = t.column("column").to_pylist()
-    metas = t.column("meta").to_pylist()
-    # zero-copy payload views (see decode._decode_files for the
-    # large_binary-before-combine rationale)
-    data_arr = t.column("data").cast(pa.large_binary()).combine_chunks()
-    blocks: dict[int, dict] = {}
-    for i in range(len(bidx)):
-        blocks.setdefault(int(bidx[i]), {})[names[i]] = (
-            memoryview(data_arr[i].as_buffer()), metas[i])
-    for bi in sorted(blocks):
-        by_col = blocks[bi]
-        yield pa.record_batch(
-            {c: decode_column(by_col[c][0], json.loads(by_col[c][1]))
-             for c in cols})
+        return read_blocks_file(partition.value, self._cols)
 
 
 class BlocksStreamReader(DataSourceStreamReader):
@@ -415,7 +385,7 @@ class BlocksStreamReader(DataSourceStreamReader):
              ) -> Iterator["pa.RecordBatch"]:
         if partition is None:     # empty micro-batch (see BlocksReader)
             return iter(())
-        return _read_blocks_file(partition.value, self._cols)
+        return read_blocks_file(partition.value, self._cols)
 
     def commit(self, end: dict) -> None:
         # progress lives in the query checkpoint; nothing to clean up

@@ -84,14 +84,61 @@ def _part_may_match(manifest: dict, col: str, op: str, value) -> bool:
     raise ValueError(f"unsupported pruning op: {op}")
 
 
+def read_blocks_file(path: str, cols: list[str]):
+    """Decode one committed blocks file into RecordBatches — THE
+    executor-side read, shared by ``decode()``'s file-list
+    ``mapInArrow`` and the ``vcfblocks`` batch/streaming readers (one
+    fix to block reassembly lands everywhere).  Zero shuffle: callers
+    hand each worker a file path; pyarrow opens it directly."""
+    import pyarrow.parquet as pq
+
+    import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
+    from vcf2parquet_spark.encode import _pin_arrow
+    _pin_arrow(2)   # see EncodeOptions.arrow_cpu: pyarrow defaults to
+    # cpu_count threads PER worker process — 32 tasks x 32 threads of
+    # parquet-decompress contention on a 32-core host
+
+    t = pq.read_table(
+        path, columns=["block_idx", "column", "meta", "data"],
+        filters=[("column", "in", cols)])
+    bidx = t.column("block_idx").to_numpy()
+    names = t.column("column").to_pylist()
+    metas = t.column("meta").to_pylist()
+    # zero-copy payload views: BinaryScalar.as_buffer() aliases the
+    # Arrow value buffer — .to_pylist() here would copy every encoded
+    # byte into Python bytes objects before the kernels even see them
+    # (kernels slice via get_section and np.frombuffer, both
+    # memoryview-safe).  Cast to large_binary BEFORE combine_chunks: a
+    # multi-chunk binary column whose payloads sum past 2 GiB would
+    # overflow int32 offsets in combine_chunks (ArrowInvalid); 64-bit
+    # offsets remove the coupling to encode's per-file bound.
+    data_arr = t.column("data").cast(pa.large_binary()).combine_chunks()
+    blocks: dict[int, dict] = {}
+    for i in range(len(bidx)):
+        blocks.setdefault(int(bidx[i]), {})[names[i]] = (
+            memoryview(data_arr[i].as_buffer()), metas[i])
+    for bi in sorted(blocks):
+        by_col = blocks[bi]
+        yield pa.record_batch(
+            {c: decode_column(by_col[c][0], json.loads(by_col[c][1]))
+             for c in cols})
+
+
 def plan_decode_parts(output: str, filters: list[tuple] | None = None,
-                      snapshot_id: int | None = None) -> list[int]:
+                      snapshot_id: int | None = None,
+                      manifests: dict | None = None) -> list[int]:
     """Partition ids that may contain matching rows — the manifest-level
     pruning plan (the engine's analogue of Parquet/Iceberg min-max
     pruning, over OUR manifests: at 100 TB this is what turns a
-    full-table decode into a few-partition read)."""
+    full-table decode into a few-partition read).  ``manifests`` lets a
+    caller that already holds the selection (``decode`` does) skip a
+    second O(partitions) metadata read."""
     from vcf2parquet_spark.errors import StorageError
 
+    if manifests is not None:
+        return [pid for pid, m in sorted(manifests.items())
+                if all(_part_may_match(m, c, op, v)
+                       for c, op, v in (filters or []))]
     manifests = (tbl.live_parts(output) if snapshot_id is None
                  else tbl.committed_parts(output))
     if snapshot_id is not None:
@@ -146,7 +193,8 @@ def decode(spark: SparkSession, output: str,
         manifests = {pid: m for pid, m in manifests.items()
                      if pid in set(part_ids)}
     if filters:
-        live = set(plan_decode_parts(output, filters, snapshot_id))
+        live = set(plan_decode_parts(output, filters,
+                                     manifests=manifests))
         pruned = {pid: m for pid, m in manifests.items() if pid in live}
         if manifests and not pruned:
             # nothing can match: empty DataFrame with the SAME schema
@@ -185,6 +233,11 @@ def decode(spark: SparkSession, output: str,
     # OLD parts — whose manifests carry the schema they were written with
     out_columns = columns or (
         first["all_columns"] if include_derived else first["schema_columns"])
+    unknown = [c for c in out_columns if c not in first["profiles"]]
+    if unknown:   # same error shape as the pruned-to-empty path above
+        raise StorageError(
+            f"unknown columns {unknown} under {output}; "
+            f"have {sorted(first['profiles'])}")
     # DDL from the manifest's profile type tags
     ddl = ", ".join(
         f"`{c}` {_SPARK_TYPES[first['profiles'][c]['type']]}"
@@ -208,44 +261,9 @@ def decode(spark: SparkSession, output: str,
     files = spark.createDataFrame(paths, "path string").repartition(n_slices)
 
     def _decode_files(batches):
-        import pyarrow.parquet as pq
-
-        import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
-        from vcf2parquet_spark.encode import _pin_arrow
-        _pin_arrow(2)   # see EncodeOptions.arrow_cpu: pyarrow defaults to
-        # cpu_count threads PER worker process — 32 tasks x 32 threads of
-        # parquet-decompress contention on a 32-core host
-
         for b in batches:
             for path in b.column("path").to_pylist():
-                t = pq.read_table(
-                    path, columns=["block_idx", "column", "meta", "data"],
-                    filters=[("column", "in", cols)])
-                bidx = t.column("block_idx").to_numpy()
-                names = t.column("column").to_pylist()
-                metas = t.column("meta").to_pylist()
-                # zero-copy payload views: BinaryScalar.as_buffer()
-                # aliases the Arrow value buffer — .to_pylist() here
-                # would copy every encoded byte into Python bytes
-                # objects before the kernels even see them (kernels
-                # slice via get_section and np.frombuffer, both
-                # memoryview-safe).  Cast to large_binary BEFORE
-                # combine_chunks: a multi-chunk binary column whose
-                # payloads sum past 2 GiB would overflow int32 offsets
-                # in combine_chunks (ArrowInvalid); 64-bit offsets
-                # remove the coupling to encode's per-file bound.
-                data_arr = (t.column("data").cast(pa.large_binary())
-                            .combine_chunks())
-                blocks: dict[int, dict] = {}
-                for i in range(len(bidx)):
-                    blocks.setdefault(int(bidx[i]), {})[names[i]] = (
-                        memoryview(data_arr[i].as_buffer()), metas[i])
-                for bi in sorted(blocks):
-                    by_col = blocks[bi]
-                    yield pa.record_batch(
-                        {c: decode_column(by_col[c][0],
-                                          json.loads(by_col[c][1]))
-                         for c in cols})
+                yield from read_blocks_file(path, cols)
 
     out = files.mapInArrow(_decode_files, schema=ddl)
     # manifest pruning is partition-granular; finish with the exact
@@ -402,10 +420,23 @@ def sql(spark: SparkSession, output: str, query: str,
     all_cols = decode_kwargs.pop("columns", None)
     if all_cols is None:
         if decode_kwargs.get("include_derived"):
-            committed = tbl.committed_parts(output)
-            if committed:
-                first = next(iter(committed.values()))
-                all_cols = first["all_columns"]
+            # the column universe must come from the SELECTION decode()
+            # will read — the newest LIVE manifest (or the requested
+            # snapshot's) — never committed_parts()'s oldest entry,
+            # which after a schema-changing overwrite is a stale
+            # pre-overwrite partition kept only for time travel
+            sid = decode_kwargs.get("snapshot_id")
+            manifests = (tbl.live_parts(output) if sid is None
+                         else tbl.committed_parts(output))
+            if sid is not None:
+                for s in tbl.snapshots(output):
+                    if s["snapshot_id"] == sid:
+                        keep = set(s["part_ids"])
+                        manifests = {p: m for p, m in manifests.items()
+                                     if p in keep}
+                        break
+            if manifests:
+                all_cols = manifests[max(manifests)]["all_columns"]
             else:  # empty table: fall back to the base schema
                 all_cols = tbl.read_table_meta(output)["schema_columns"]
         else:

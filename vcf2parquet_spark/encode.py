@@ -56,12 +56,28 @@ from vcf2parquet_spark.select import choose_codecs
 
 DEFAULT_BATCH = 100_000          # rows per block (reference default batch size)
 DEFAULT_TARGET_ROWS = 250_000    # rows per work unit before salting kicks in
-_I32_CAP = (1 << 31) - 8         # max bytes one 32-bit-offset string
-                                 # array can frame; a SINGLE value past
-                                 # it is unencodable (SchemaError)
+_I32_CAP = (1 << 31) - (1 << 24)  # byte budget per 32-bit-offset framing
+#                                   unit: int32 capacity minus 16 MiB of
+#                                   headroom so an incompressible block's
+#                                   ENCODED payload (codec headers, zlib
+#                                   worst-case ~0.03% expansion) still
+#                                   fits int32.  A SINGLE value past it
+#                                   is unencodable (SchemaError).
+_I32_ELEMS = (1 << 31) - 8       # child-element budget per block: the
+                                 # kernels' list framing writes checked
+                                 # int32 offsets (kernels._i32_offsets)
 
-SUMMARY_SCHEMA = ("part_id long, n_rows long, raw_bytes long, enc_bytes long, "
-                  "n_blocks int, n_columns int, seconds double, status string")
+# One definition of the per-partition job summary row; the DDL string
+# (mapInArrow's schema argument) is derived so the two can never drift.
+SUMMARY_ARROW = pa.schema([
+    ("part_id", pa.int64()), ("n_rows", pa.int64()),
+    ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+    ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
+    ("seconds", pa.float64()), ("status", pa.string())])
+_DDL_NAMES = {pa.int64(): "long", pa.int32(): "int",
+              pa.float64(): "double", pa.string(): "string"}
+SUMMARY_SCHEMA = ", ".join(
+    f"{f.name} {_DDL_NAMES[f.type]}" for f in SUMMARY_ARROW)
 
 
 @dataclass
@@ -447,7 +463,6 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
         for col in t.column_names:
             arr = chunk.column(col).combine_chunks()
             payload, meta = encode_column(arr, codecs[col])
-            raw = int(profiles[col].get("raw_bytes", 0))
             rows["part_id"].append(part_id)
             rows["block_idx"].append(b)
             rows["column"].append(col)
@@ -463,10 +478,7 @@ def encode_partition(part_id: int, t: pa.Table, output: str,
     stage["kernel"] = time.time() - tk
 
     tw = time.time()
-    blocks = pa.table(
-        {k: pa.array(v, type=tbl.BLOCKS_SCHEMA.field(k).type)
-         for k, v in rows.items()},
-        schema=tbl.BLOCKS_SCHEMA)
+    blocks = _blocks_table(rows)
     tbl.write_blocks_file(tbl.data_path(output, part_id), blocks,
                           parquet_version=opts.parquet_version)
     stage["write"] = time.time() - tw
@@ -519,7 +531,17 @@ def _block_bounds(t: pa.Table, batch_size: int,
     # the 32-bit offset framing is a hard downstream constraint, so a
     # user-raised block_bytes can never loosen the cut past _I32_CAP
     eff = min(block_bytes, _I32_CAP)
-    cums = []
+    # (name, prefix-sum, cap) per constrained axis: string/binary
+    # columns cut on payload BYTES; list columns cut on child BYTES
+    # (var-width child) or a conservative 8 B/element, AND on child
+    # COUNT (the kernels' list framing writes checked int32 offsets)
+    cums: list[tuple[str, "np.ndarray", int]] = []
+
+    def _prefix(values) -> "np.ndarray":
+        cum = np.zeros(len(values) + 1, np.int64)
+        np.cumsum(values, out=cum[1:])
+        return cum
+
     for name in t.column_names:
         c = t.column(name)
         if (pa.types.is_string(c.type) or pa.types.is_large_string(c.type)
@@ -527,34 +549,88 @@ def _block_bounds(t: pa.Table, batch_size: int,
                 or pa.types.is_large_binary(c.type)):
             ln = pc.coalesce(pc.binary_length(c).cast(pa.int64()),
                              pa.scalar(0, pa.int64()))
-            cum = np.zeros(n + 1, np.int64)
-            np.cumsum(ln.to_numpy(zero_copy_only=False), out=cum[1:])
+            cum = _prefix(ln.to_numpy(zero_copy_only=False))
             if int(cum[-1]) > eff:  # can this column overflow at all?
-                cums.append((name, cum))
+                cums.append((name, cum, eff))
+        elif pa.types.is_list(c.type) or pa.types.is_large_list(c.type):
+            counts = pc.coalesce(
+                pc.list_value_length(c).cast(pa.int64()),
+                pa.scalar(0, pa.int64()))
+            ccum = _prefix(counts.to_numpy(zero_copy_only=False))
+            if int(ccum[-1]) > _I32_ELEMS:
+                cums.append((name, ccum, _I32_ELEMS))
+            child = pc.list_flatten(c)
+            if (pa.types.is_string(child.type)
+                    or pa.types.is_large_string(child.type)
+                    or pa.types.is_binary(child.type)
+                    or pa.types.is_large_binary(child.type)):
+                cl = pc.coalesce(pc.binary_length(child).cast(pa.int64()),
+                                 pa.scalar(0, pa.int64()))
+                childcum = _prefix(cl.to_numpy(zero_copy_only=False))
+                bcum = childcum[ccum]     # per-ROW child-bytes prefix
+            else:
+                bcum = ccum * 8           # fixed-width child, ≤8 B/elem
+            if int(bcum[-1]) > eff:
+                cums.append((name, bcum, eff))
     bounds = []
     lo = 0
     while lo < n:
         hi = min(lo + batch_size, n)
-        for _, cum in cums:
-            if cum[hi] - cum[lo] > eff:
-                h = int(np.searchsorted(cum, cum[lo] + eff,
+        for _, cum, cap in cums:
+            if cum[hi] - cum[lo] > cap:
+                h = int(np.searchsorted(cum, cum[lo] + cap,
                                         side="right")) - 1
                 hi = min(hi, max(lo + 1, h))  # ≥1 row: a single giant
                 #                               value can't be split
         if hi == lo + 1:
             # the single-row clamp fired; a lone value is fine past
             # block_bytes (one over-size block) but NOT past the 32-bit
-            # offset cap every downstream framing assumes
-            for name, cum in cums:
-                if cum[hi] - cum[lo] > _I32_CAP:
+            # framing caps every downstream consumer assumes
+            for name, cum, cap in cums:
+                # the hard framing limit for the axis (byte-axis caps
+                # are min'd with block_bytes, which a single oversize
+                # block may exceed harmlessly; the elem axis IS hard)
+                hard = cap if cap == _I32_ELEMS else _I32_CAP
+                if cum[hi] - cum[lo] > hard:
                     raise SchemaError(
-                        f"column {name!r} row {lo} holds a single "
-                        f"{int(cum[hi] - cum[lo]):,}-byte value — over "
-                        f"the {_I32_CAP:,}-byte per-value limit of "
-                        "32-bit offsets (split the value upstream)")
+                        f"column {name!r} row {lo} holds "
+                        f"{int(cum[hi] - cum[lo]):,} bytes/elements in "
+                        f"one value — over the {hard:,} 32-bit framing "
+                        "limit (split the value upstream)")
         bounds.append((lo, hi))
         lo = hi
     return bounds
+
+
+def _blocks_table(rows: dict[str, list]) -> pa.Table:
+    """The blocks table for one work unit.  The ``data`` column is
+    ``pa.binary()`` (int32 offsets): ONE ``pa.array`` over a unit whose
+    encoded payloads sum past ~2 GiB raises ArrowCapacityError, so when
+    the unit is that large every column is built CHUNKED on boundaries
+    where each chunk's payload stays under the cap (parquet writes
+    chunked columns transparently; block order is preserved — decode
+    reads by block_idx).  The overwhelmingly common small unit takes
+    the single-chunk path, byte-identical to the old construction."""
+    sizes = [len(d) for d in rows["data"]]
+    bounds = [0]
+    run = 0
+    for i, s in enumerate(sizes):
+        if run + s > _I32_CAP and i > bounds[-1]:
+            bounds.append(i)
+            run = 0
+        run += s
+    bounds.append(len(sizes))
+    if len(bounds) == 2:
+        return pa.table(
+            {k: pa.array(v, type=tbl.BLOCKS_SCHEMA.field(k).type)
+             for k, v in rows.items()},
+            schema=tbl.BLOCKS_SCHEMA)
+    return pa.table(
+        {k: pa.chunked_array(
+            [pa.array(v[a:b], type=tbl.BLOCKS_SCHEMA.field(k).type)
+             for a, b in zip(bounds, bounds[1:])])
+         for k, v in rows.items()},
+        schema=tbl.BLOCKS_SCHEMA)
 
 
 def _raw_bytes(arr: pa.Array) -> int:
@@ -627,11 +703,7 @@ def encode(spark: SparkSession, df: DataFrame, output: str,
     presort = (not packed and opts.presort_in_shuffle
                and all(c in with_part.columns for c in opts.sort_columns))
 
-    _sum_schema = pa.schema([
-        ("part_id", pa.int64()), ("n_rows", pa.int64()),
-        ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
-        ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
-        ("seconds", pa.float64()), ("status", pa.string())])
+    _sum_schema = SUMMARY_ARROW
 
     def _encode_group(key: tuple, t: pa.Table) -> pa.Table:
         import vcf2parquet_spark._alloc  # noqa: F401 (executor mallopt)
@@ -923,7 +995,11 @@ def _finalize_job(output: str, opts: EncodeOptions,
         "current_snapshot_id": snap["snapshot_id"],
         "format": "vcf2parquet_spark.blocks.v1",
         "schema_columns": schema_columns,
-        "n_partitions": n_parts,
+        # live partition COUNT (the datasource writer records the same);
+        # the id watermark — which streaming offsets inflate far past
+        # any count — is next_part_id
+        "n_partitions": snap["summary"]["n_partitions"],
+        "next_part_id": n_parts,
         "n_committed": snap["summary"]["n_partitions"],
         "n_rows": snap["summary"]["n_rows"],
         "raw_bytes": snap["summary"]["raw_bytes"],
@@ -1006,11 +1082,7 @@ def encode_clustered(spark: SparkSession, input_dir: str, output: str,
     committed = set(tbl.committed_parts(output)) if opts.resume else set()
     todo = [u for u in units if u["part_id"] not in committed]
 
-    _sum_schema = pa.schema([
-        ("part_id", pa.int64()), ("n_rows", pa.int64()),
-        ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
-        ("n_blocks", pa.int32()), ("n_columns", pa.int32()),
-        ("seconds", pa.float64()), ("status", pa.string())])
+    _sum_schema = SUMMARY_ARROW
     opts_b = opts
     out_cols = list(schema_columns)
 

@@ -184,8 +184,20 @@ def str_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def str_from_buffers(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
-    """Build a pa.StringArray from (data, offsets) with zero copies."""
+    """Build a pa.StringArray from (data, offsets) with zero copies.
+
+    Offsets past int32 cannot come from our own encoder (blocks are
+    byte-capped), so an overflow here means a corrupt payload — raise
+    CodecError per decode_column's contract instead of letting the
+    unchecked int32 narrowing wrap into garbage strings (the sibling
+    guard for list offsets is kernels._i32_offsets)."""
+    from vcf2parquet_spark.errors import CodecError
+
     n = len(offsets) - 1
+    if n >= 0 and int(offsets[-1]) > np.iinfo(np.int32).max:
+        raise CodecError(
+            f"corrupt payload: decoded string bytes ({int(offsets[-1]):,})"
+            " overflow int32 offsets")
     off32 = offsets.astype(np.int32)
     return pa.StringArray.from_buffers(
         n, pa.py_buffer(off32.tobytes()), pa.py_buffer(data.tobytes())
