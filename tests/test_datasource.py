@@ -114,7 +114,7 @@ def test_snapshot_time_travel_option(spark, blocks, tmp_path):
     extra = synth_corpus(spark, 700, seed=2, partitions=2) \
         .withColumn("repo", F.concat(F.lit("v2/"), F.col("repo")))
     encode(spark, extra, out, target_rows=250,
-           part_id_offset=job1["n_partitions"])
+           part_id_offset=job1["next_part_id"])
     register_data_source(spark)
     now = spark.read.format("vcfblocks").load(out)
     assert now.count() == 1200
@@ -164,7 +164,7 @@ def test_pushdown_in_null_and_prefix(spark, tmp_path):
         "content string")
     job_a = encode(spark, a, out, target_rows=100)
     encode(spark, b, out, target_rows=100,
-           part_id_offset=job_a["n_partitions"])
+           part_id_offset=job_a["next_part_id"])
     register_data_source(spark)
     full = spark.read.format("vcfblocks").load(out)
     n_total = len(BlocksDataSource({"path": out})

@@ -115,8 +115,8 @@ def test_writer_interops_with_encode_api(reg, tmp_path):
     d2.write.format("vcfblocks").mode("append").save(out)
 
     assert decode(spark, out).count() == 1000
-    new_ids = set(tbl.committed_parts(out)) - set(range(job["n_partitions"]))
-    assert new_ids and min(new_ids) >= job["n_partitions"]
+    new_ids = set(tbl.committed_parts(out)) - set(range(job["next_part_id"]))
+    assert new_ids and min(new_ids) >= job["next_part_id"]
 
 
 def test_writer_options_respected(reg, tmp_path):

@@ -392,6 +392,18 @@ class BlocksStreamReader(DataSourceStreamReader):
         pass
 
 
+def _next_part_id(path: str, this_writer_next: int) -> int:
+    """The id watermark a meta rewrite must carry forward: the max of
+    what this writer just used and the table's previously recorded
+    watermark (write_table_meta full-replaces the JSON, so dropping the
+    key here would erase the watermark encode() recorded)."""
+    try:
+        prev = int(tbl.read_table_meta(path).get("next_part_id", 0))
+    except (OSError, ValueError):
+        prev = 0
+    return max(prev, this_writer_next)
+
+
 @dataclass
 class PartCommit(WriterCommitMessage):
     """One task's commit message: which partition it encoded (None for
@@ -512,6 +524,8 @@ class BlocksArrowWriter(DataSourceArrowWriter):
             "format": "vcf2parquet_spark.blocks.v1",
             "schema_columns": self._schema_columns,
             "n_partitions": snap["summary"]["n_partitions"],
+            "next_part_id": _next_part_id(
+                self._path, (max(new) + 1) if new else self._offset),
             "n_committed": snap["summary"]["n_partitions"],
             "n_rows": snap["summary"]["n_rows"],
             "raw_bytes": snap["summary"]["raw_bytes"],
@@ -826,6 +840,7 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
         staged = sorted((m for m in messages
                          if m is not None and m.staged_dir is not None),
                         key=lambda m: m.task_pid)
+        max_id = -1
         for m in staged:
             final_id = base + (batchId + 1) * self._stride + m.task_pid
             manifest = json.loads(m.manifest_json)
@@ -833,6 +848,7 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
             manifest["stream_batch_id"] = batchId
             os.replace(m.staged_data, tbl.data_path(self._path, final_id))
             tbl.commit_manifest(self._path, final_id, manifest)
+            max_id = max(max_id, final_id)
         # advance the high-water mark now that the epoch's files are in
         self._write_entry(base, max(last, batchId), ident, retired)
         # drain THIS query's staging dir: adopted files were renamed out
@@ -853,6 +869,7 @@ class BlocksStreamWriter(DataSourceStreamArrowWriter):
             "format": "vcf2parquet_spark.blocks.v1",
             "schema_columns": self._schema_columns,
             "n_partitions": snap["summary"]["n_partitions"],
+            "next_part_id": _next_part_id(self._path, max_id + 1),
             "n_committed": snap["summary"]["n_partitions"],
             "n_rows": snap["summary"]["n_rows"],
             "raw_bytes": snap["summary"]["raw_bytes"],

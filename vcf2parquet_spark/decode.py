@@ -84,6 +84,50 @@ def _part_may_match(manifest: dict, col: str, op: str, value) -> bool:
     raise ValueError(f"unsupported pruning op: {op}")
 
 
+def _select_manifests(output: str,
+                      snapshot_id: int | None) -> dict[int, dict]:
+    """The manifest selection every read path starts from: the LIVE set
+    (latest snapshot ∪ adopted dangling parts), or — for time travel —
+    the committed parts the requested snapshot references.  Raises on
+    an unknown snapshot.  One definition, used by ``decode``,
+    ``plan_decode_parts`` and ``sql`` so snapshot resolution cannot
+    drift between them."""
+    from vcf2parquet_spark.errors import StorageError
+
+    if snapshot_id is None:
+        return tbl.live_parts(output)
+    snaps = {s["snapshot_id"]: s for s in tbl.snapshots(output)}
+    if snapshot_id not in snaps:
+        raise StorageError(
+            f"unknown snapshot {snapshot_id} under {output}; "
+            f"have {sorted(snaps)}")
+    keep = set(snaps[snapshot_id]["part_ids"])
+    return {p: m for p, m in tbl.committed_parts(output).items()
+            if p in keep}
+
+
+def _columns_and_ddl(manifest: dict, columns: list[str] | None,
+                     include_derived: bool,
+                     output: str) -> tuple[list[str], str]:
+    """Resolve the output column list against one manifest's recorded
+    schema and build the Spark DDL from its profile type tags —
+    validating unknown columns with a StorageError (not a KeyError)."""
+    from vcf2parquet_spark.errors import StorageError
+
+    cols = list(columns or (
+        manifest["all_columns"] if include_derived
+        else manifest["schema_columns"]))
+    unknown = [c for c in cols if c not in manifest["profiles"]]
+    if unknown:
+        raise StorageError(
+            f"unknown columns {unknown} under {output}; "
+            f"have {sorted(manifest['profiles'])}")
+    ddl = ", ".join(
+        f"`{c}` {_SPARK_TYPES[manifest['profiles'][c]['type']]}"
+        for c in cols)
+    return cols, ddl
+
+
 def read_blocks_file(path: str, cols: list[str]):
     """Decode one committed blocks file into RecordBatches — THE
     executor-side read, shared by ``decode()``'s file-list
@@ -132,29 +176,18 @@ def plan_decode_parts(output: str, filters: list[tuple] | None = None,
     pruning, over OUR manifests: at 100 TB this is what turns a
     full-table decode into a few-partition read).  ``manifests`` lets a
     caller that already holds the selection (``decode`` does) skip a
-    second O(partitions) metadata read."""
-    from vcf2parquet_spark.errors import StorageError
-
+    second O(partitions) metadata read — the dict must already embody
+    the snapshot scope, so passing both is a contract error."""
     if manifests is not None:
-        return [pid for pid, m in sorted(manifests.items())
-                if all(_part_may_match(m, c, op, v)
-                       for c, op, v in (filters or []))]
-    manifests = (tbl.live_parts(output) if snapshot_id is None
-                 else tbl.committed_parts(output))
-    if snapshot_id is not None:
-        snaps = {s["snapshot_id"]: set(s["part_ids"])
-                 for s in tbl.snapshots(output)}
-        if snapshot_id not in snaps:
-            raise StorageError(
-                f"unknown snapshot {snapshot_id} under {output}; "
-                f"have {sorted(snaps)}")
-        keep = snaps[snapshot_id]
-        manifests = {p: m for p, m in manifests.items() if p in keep}
-    out = []
-    for pid, m in sorted(manifests.items()):
-        if all(_part_may_match(m, c, op, v) for c, op, v in (filters or [])):
-            out.append(pid)
-    return out
+        if snapshot_id is not None:
+            raise ValueError(
+                "plan_decode_parts: pass either manifests (an already-"
+                "scoped selection) or snapshot_id, not both")
+    else:
+        manifests = _select_manifests(output, snapshot_id)
+    return [pid for pid, m in sorted(manifests.items())
+            if all(_part_may_match(m, c, op, v)
+                   for c, op, v in (filters or []))]
 
 
 def decode(spark: SparkSession, output: str,
@@ -179,16 +212,7 @@ def decode(spark: SparkSession, output: str,
 
     from vcf2parquet_spark.errors import StorageError
 
-    manifests = (tbl.live_parts(output) if snapshot_id is None
-                 else tbl.committed_parts(output))
-    if snapshot_id is not None:
-        snaps = {s["snapshot_id"]: s for s in tbl.snapshots(output)}
-        if snapshot_id not in snaps:
-            raise StorageError(
-                f"unknown snapshot {snapshot_id} under {output}; "
-                f"have {sorted(snaps)}")
-        keep = set(snaps[snapshot_id]["part_ids"])
-        manifests = {pid: m for pid, m in manifests.items() if pid in keep}
+    manifests = _select_manifests(output, snapshot_id)
     if part_ids is not None:
         manifests = {pid: m for pid, m in manifests.items()
                      if pid in set(part_ids)}
@@ -204,18 +228,8 @@ def decode(spark: SparkSession, output: str,
             # whose oldest entry may be a non-live pre-overwrite part
             # with a different schema (code-review r5)
             some = manifests[max(manifests)]
-            # same column-selection rule as the non-empty path below
-            cols0 = columns or (
-                some["all_columns"] if include_derived
-                else some["schema_columns"])
-            unknown = [c for c in cols0 if c not in some["profiles"]]
-            if unknown:
-                raise StorageError(
-                    f"unknown columns {unknown} under {output}; "
-                    f"have {sorted(some['profiles'])}")
-            ddl0 = ", ".join(
-                f"`{c}` {_SPARK_TYPES[some['profiles'][c]['type']]}"
-                for c in cols0)
+            _, ddl0 = _columns_and_ddl(some, columns, include_derived,
+                                       output)
             return spark.createDataFrame([], ddl0)
         manifests = pruned
     if not manifests:
@@ -231,20 +245,9 @@ def decode(spark: SparkSession, output: str,
     # not the table file: after a schema-changing overwrite the table
     # meta describes the new live set, but a snapshot_id read scans the
     # OLD parts — whose manifests carry the schema they were written with
-    out_columns = columns or (
-        first["all_columns"] if include_derived else first["schema_columns"])
-    unknown = [c for c in out_columns if c not in first["profiles"]]
-    if unknown:   # same error shape as the pruned-to-empty path above
-        raise StorageError(
-            f"unknown columns {unknown} under {output}; "
-            f"have {sorted(first['profiles'])}")
-    # DDL from the manifest's profile type tags
-    ddl = ", ".join(
-        f"`{c}` {_SPARK_TYPES[first['profiles'][c]['type']]}"
-        for c in out_columns)
+    cols, ddl = _columns_and_ddl(first, columns, include_derived, output)
 
     committed_ids = sorted(manifests)
-    cols = list(out_columns)
 
     # Shuffle-free decode: each committed partition is exactly one
     # blocks file (the manifest is the file list, Iceberg-style), so
@@ -425,16 +428,8 @@ def sql(spark: SparkSession, output: str, query: str,
             # snapshot's) — never committed_parts()'s oldest entry,
             # which after a schema-changing overwrite is a stale
             # pre-overwrite partition kept only for time travel
-            sid = decode_kwargs.get("snapshot_id")
-            manifests = (tbl.live_parts(output) if sid is None
-                         else tbl.committed_parts(output))
-            if sid is not None:
-                for s in tbl.snapshots(output):
-                    if s["snapshot_id"] == sid:
-                        keep = set(s["part_ids"])
-                        manifests = {p: m for p, m in manifests.items()
-                                     if p in keep}
-                        break
+            manifests = _select_manifests(
+                output, decode_kwargs.get("snapshot_id"))
             if manifests:
                 all_cols = manifests[max(manifests)]["all_columns"]
             else:  # empty table: fall back to the base schema

@@ -63,9 +63,12 @@ _I32_CAP = (1 << 31) - (1 << 24)  # byte budget per 32-bit-offset framing
 #                                   worst-case ~0.03% expansion) still
 #                                   fits int32.  A SINGLE value past it
 #                                   is unencodable (SchemaError).
-_I32_ELEMS = (1 << 31) - 8       # child-element budget per block: the
-                                 # kernels' list framing writes checked
-                                 # int32 offsets (kernels._i32_offsets)
+_I32_ELEMS = _I32_CAP // 8       # child-element budget per block: int32
+                                 # list offsets need n < 2^31, and the
+                                 # per-element framing METADATA (packed
+                                 # lengths, ≤8 B/element worst case)
+                                 # must itself fit the byte cap — n*8 ≤
+                                 # _I32_CAP bounds both at once
 
 # One definition of the per-partition job summary row; the DDL string
 # (mapInArrow's schema argument) is derived so the two can never drift.
@@ -531,11 +534,13 @@ def _block_bounds(t: pa.Table, batch_size: int,
     # the 32-bit offset framing is a hard downstream constraint, so a
     # user-raised block_bytes can never loosen the cut past _I32_CAP
     eff = min(block_bytes, _I32_CAP)
-    # (name, prefix-sum, cap) per constrained axis: string/binary
+    # (name, prefix-sum, cap, hard) per constrained axis: string/binary
     # columns cut on payload BYTES; list columns cut on child BYTES
     # (var-width child) or a conservative 8 B/element, AND on child
-    # COUNT (the kernels' list framing writes checked int32 offsets)
-    cums: list[tuple[str, "np.ndarray", int]] = []
+    # COUNT (the kernels' list framing writes checked int32 offsets).
+    # ``cap`` is where blocks are cut (min'd with block_bytes); ``hard``
+    # is the framing limit a SINGLE row may never exceed.
+    cums: list[tuple[str, "np.ndarray", int, int]] = []
 
     def _prefix(values) -> "np.ndarray":
         cum = np.zeros(len(values) + 1, np.int64)
@@ -551,14 +556,14 @@ def _block_bounds(t: pa.Table, batch_size: int,
                              pa.scalar(0, pa.int64()))
             cum = _prefix(ln.to_numpy(zero_copy_only=False))
             if int(cum[-1]) > eff:  # can this column overflow at all?
-                cums.append((name, cum, eff))
+                cums.append((name, cum, eff, _I32_CAP))
         elif pa.types.is_list(c.type) or pa.types.is_large_list(c.type):
             counts = pc.coalesce(
                 pc.list_value_length(c).cast(pa.int64()),
                 pa.scalar(0, pa.int64()))
             ccum = _prefix(counts.to_numpy(zero_copy_only=False))
             if int(ccum[-1]) > _I32_ELEMS:
-                cums.append((name, ccum, _I32_ELEMS))
+                cums.append((name, ccum, _I32_ELEMS, _I32_ELEMS))
             child = pc.list_flatten(c)
             if (pa.types.is_string(child.type)
                     or pa.types.is_large_string(child.type)
@@ -571,12 +576,12 @@ def _block_bounds(t: pa.Table, batch_size: int,
             else:
                 bcum = ccum * 8           # fixed-width child, ≤8 B/elem
             if int(bcum[-1]) > eff:
-                cums.append((name, bcum, eff))
+                cums.append((name, bcum, eff, _I32_CAP))
     bounds = []
     lo = 0
     while lo < n:
         hi = min(lo + batch_size, n)
-        for _, cum, cap in cums:
+        for _, cum, cap, _hard in cums:
             if cum[hi] - cum[lo] > cap:
                 h = int(np.searchsorted(cum, cum[lo] + cap,
                                         side="right")) - 1
@@ -586,11 +591,10 @@ def _block_bounds(t: pa.Table, batch_size: int,
             # the single-row clamp fired; a lone value is fine past
             # block_bytes (one over-size block) but NOT past the 32-bit
             # framing caps every downstream consumer assumes
-            for name, cum, cap in cums:
-                # the hard framing limit for the axis (byte-axis caps
-                # are min'd with block_bytes, which a single oversize
-                # block may exceed harmlessly; the elem axis IS hard)
-                hard = cap if cap == _I32_ELEMS else _I32_CAP
+            for name, cum, cap, hard in cums:
+                # ``hard`` is the axis's framing limit; a single value
+                # may exceed block_bytes (one oversize block) but never
+                # this
                 if cum[hi] - cum[lo] > hard:
                     raise SchemaError(
                         f"column {name!r} row {lo} holds "
@@ -991,15 +995,20 @@ def _finalize_job(output: str, opts: EncodeOptions,
                                              for m in live.values()),
                             "enc_bytes": sum(m["enc_bytes"]
                                              for m in live.values())}}
+    committed_now = tbl.committed_parts(output)
+    next_part_id = max(n_parts,
+                       (max(committed_now) + 1) if committed_now else 0)
     job = {
         "current_snapshot_id": snap["snapshot_id"],
         "format": "vcf2parquet_spark.blocks.v1",
         "schema_columns": schema_columns,
         # live partition COUNT (the datasource writer records the same);
-        # the id watermark — which streaming offsets inflate far past
-        # any count — is next_part_id
+        # next_part_id is THE id watermark for part_id_offset= appends —
+        # one past every id ever committed (this run's plan alone would
+        # under-count after another writer, a compact, or a streaming
+        # epoch touched the table)
         "n_partitions": snap["summary"]["n_partitions"],
-        "next_part_id": n_parts,
+        "next_part_id": next_part_id,
         "n_committed": snap["summary"]["n_partitions"],
         "n_rows": snap["summary"]["n_rows"],
         "raw_bytes": snap["summary"]["raw_bytes"],

@@ -102,6 +102,7 @@ def compact(spark: SparkSession, output: str,
         extra={"rewrite_ids": sorted(new_parts)})
     meta = tbl.read_table_meta(output)
     meta.update({"current_snapshot_id": snap["snapshot_id"],
+                 "n_partitions": snap["summary"]["n_partitions"],
                  "n_committed": snap["summary"]["n_partitions"],
                  "n_rows": snap["summary"]["n_rows"],
                  "raw_bytes": snap["summary"]["raw_bytes"],
