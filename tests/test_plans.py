@@ -87,7 +87,8 @@ def test_profile_df_dotted_column_names(spark):
     df = spark.createDataFrame(
         [("x", 3), ("y", 4), (None, 5)], ["a.b", "n`v"])
     rows = {r["column"]: r for r in profile_df(df).collect()}
-    assert rows["a.b"]["n"] == 2 and rows["a.b"]["n_nulls"] == 1
+    # n = TOTAL rows (profile_arrow's convention); n - n_nulls = values
+    assert rows["a.b"]["n"] == 3 and rows["a.b"]["n_nulls"] == 1
     assert rows["n`v"]["n"] == 3 and rows["n`v"]["max_len"] == 5.0
 
 

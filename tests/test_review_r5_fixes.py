@@ -330,6 +330,43 @@ def test_blocks_table_chunks_past_payload_cap(monkeypatch):
     assert enc._blocks_table(small).column("data").num_chunks == 1
 
 
+def test_fake_resize_handles_trailing_empty_payload():
+    import pandas as pd
+
+    from vcf2parquet_spark.functions.multimodal import _fake_resize
+    out = _fake_resize(pd.Series([b"abcdefgh", b""]), 4)
+    assert len(out[0]) == 4 and out[1] == b"\x00" * 4
+    assert _fake_resize(pd.Series([b""]), 4) == [b"\x00" * 4]
+    # empties BETWEEN payloads stay zeroed too
+    out = _fake_resize(pd.Series([b"", b"abcd", b""]), 2)
+    assert out == [b"\x00\x00", b"ac", b"\x00\x00"]
+
+
+def test_profile_arrow_chunked_list_over_cap(monkeypatch):
+    """A chunked list<string> column past the int32-safe byte threshold
+    must profile through large_list/large_string, not a bare
+    combine_chunks (ArrowInvalid offset overflow)."""
+    import vcf2parquet_spark.profile as prof
+    monkeypatch.setattr(prof, "INT32_SAFE_BYTES", 8)
+    arr = pa.chunked_array([pa.array([["aaaa"], ["bbbb"]]),
+                            pa.array([["cc", "dd"]])])
+    st = prof.profile_arrow(arr, "toks")
+    assert st["n"] == 3 and st["type"].startswith("list<")
+
+
+def test_long_string_routing_uses_bytes_not_codepoints():
+    from vcf2parquet_spark.select import choose_codec
+    base = {"type": "string", "n": 10_000, "n_nulls": 0, "avg_run": 1.0,
+            "distinct_ratio": 1.0, "n_distinct": 10_000, "entropy": 4.0,
+            "max_run": 1, "avg_len": 100.0, "max_len": 120}
+    # 100 codepoints/value but 300 BYTES/value (multi-byte text): the
+    # byte threshold routes it to the long-string path
+    cjk = dict(base, raw_bytes=300 * 10_000)
+    assert choose_codec(cjk, "zlib", "plain") == "plain+brotli9"
+    ascii_ = dict(base, raw_bytes=100 * 10_000)
+    assert choose_codec(ascii_, "zlib", "plain") == "fsst+zlib"
+
+
 def test_str_from_buffers_rejects_offset_overflow():
     import numpy as np
 

@@ -87,10 +87,13 @@ def test_ivf_topk_scores_match_exact(spark, emb):
         assert len(ranks) <= 3
 
 
-def test_ivf_assign_plan_broadcasts_centroids(spark, emb):
+def test_ivf_assign_plan_is_map_only(spark, emb):
+    """The centroid-literal argmin plans as a pure projection: no join
+    of any kind and no exchange — one narrow scan at any corpus size."""
     plan = (ivf_assign(emb, n_centroids=8, dim=64)
             ._jdf.queryExecution().explainString(
                 emb._sc._jvm.org.apache.spark.sql.execution
                 .ExplainMode.fromString("simple")))
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "Window" not in plan

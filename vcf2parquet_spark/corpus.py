@@ -109,12 +109,21 @@ def _hex(h: np.ndarray, n_words: int) -> np.ndarray:
 
 
 def _fixed_width_strings(mat: np.ndarray) -> pa.Array:
-    """(n, w) uint8 matrix -> pa.StringArray of width-w strings."""
+    """(n, w) uint8 matrix -> pa.StringArray of width-w strings.
+
+    Past int32 offset capacity (n*w > 2^31, ~54M rows of 40-char
+    commits in ONE batch) the int32 ``arange`` would silently wrap
+    negative and build a corrupt array — switch to large_string (int64
+    offsets), which every downstream path already handles."""
     n, w = mat.shape
-    offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
-    return pa.StringArray.from_buffers(
-        n, pa.py_buffer(offsets.tobytes()),
-        pa.py_buffer(np.ascontiguousarray(mat).tobytes()))
+    data = pa.py_buffer(np.ascontiguousarray(mat).tobytes())
+    if n * w <= np.iinfo(np.int32).max:
+        offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
+        return pa.StringArray.from_buffers(
+            n, pa.py_buffer(offsets.tobytes()), data)
+    offsets = np.arange(0, (n + 1) * w, w, dtype=np.int64)
+    return pa.LargeStringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), data)
 
 
 def zipf_weights(n: int, s: float = 1.3) -> np.ndarray:

@@ -240,6 +240,17 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame | None = None,
                .filter(F.col("_df") > max_postings)
                .select("sh"))
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    if pairs is not None:
+        # restrict the self-join to DOCUMENTS that appear in a candidate
+        # pair BEFORE expanding: the verifier's work must scale with the
+        # LSH survivors, not the corpus (the pair-level semi-join below
+        # would otherwise discard corpus-scale join output).  Per-doc
+        # shingle counts (n_sh) are computed per row above, so the
+        # Jaccard denominator is unaffected.
+        cand = (pairs.select(F.col("left_id").alias(key_col))
+                .union(pairs.select(F.col("right_id").alias(key_col)))
+                .distinct())
+        sh = sh.join(cand, key_col, "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (a.join(b, "sh")
              .filter(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))

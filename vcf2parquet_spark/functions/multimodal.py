@@ -113,7 +113,12 @@ def _fake_resize(payloads: pd.Series, wh: int) -> list[bytes]:
     flat = np.frombuffer(b"".join(payloads.tolist()), dtype=np.uint8)
     grid = np.arange(wh, dtype=np.int64)[None, :]
     idx = offsets[:-1, None] + grid * np.maximum(lens, 1)[:, None] // wh
-    idx = np.minimum(idx, np.maximum(offsets[1:, None] - 1, offsets[:-1, None]))
+    # clamp into [0, row end - 1]: an EMPTY row's "end - 1" points at
+    # the previous row's last byte (or -1 -> 0 when everything before
+    # it is empty) — always in bounds, and the gathered garbage is
+    # zeroed by the lens == 0 mask below.  Clamping to the row START
+    # instead would index one past the buffer for a trailing empty row.
+    idx = np.minimum(idx, np.maximum(offsets[1:, None] - 1, 0))
     mat = (flat[idx] if len(flat)
            else np.zeros((n, wh), dtype=np.uint8))
     mat[lens == 0] = 0

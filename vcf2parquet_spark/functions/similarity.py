@@ -71,10 +71,14 @@ def ivf_seed_centroids(n_centroids: int, dim: int) -> list[list[int]]:
             for j in range(n_centroids)]
 
 
-def _centroid_df(spark, centroids: list[list[float]]):
-    return spark.createDataFrame(
-        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
-        "centroid_id int, cvec array<double>")
+def _centroid_literal(centroids: list[list[float]]):
+    """``array<struct<centroid_id int, cvec array<double>>>`` literal —
+    embeds the (tiny) coarse-quantizer centroids directly in the plan
+    so per-row argmin/probe selection needs no join and no shuffle."""
+    return F.array(*[
+        F.struct(F.lit(j).alias("centroid_id"),
+                 F.array(*[F.lit(float(x)) for x in c]).alias("cvec"))
+        for j, c in enumerate(centroids)])
 
 
 def _sqdist(a, b):
@@ -88,22 +92,27 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]] | None = None,
                ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
-    The centroid table is tiny and **broadcast**; the argmin is a
-    map-only cross product + per-vector window, so the corpus side never
-    shuffles — at 100 TB the assignment is a single scan.  Distances are
-    rounded before ranking so float noise can't flip assignments between
-    engines; ties break on centroid_id.
+    The centroids are embedded as an array LITERAL in the plan and the
+    argmin is ``array_min`` over a per-row ``transform`` — genuinely
+    map-only (one narrow scan, NO exchange; the former cross-join +
+    per-vector window shuffled one row per vector per centroid).
+    Distances are rounded before ranking so float noise can't flip
+    assignments between engines; ties break on centroid_id.  The
+    literal carries k×dim floats — fine for a coarse quantizer (k up
+    to a few hundred).
     """
-    spark = df.sparkSession
     cents = centroids or ivf_seed_centroids(n_centroids, dim)
-    c = _centroid_df(spark, cents)
     v = F.col(vec_col).cast("array<double>")
-    scored = (df.crossJoin(F.broadcast(c))
-              .withColumn("dist", F.round(_sqdist(v, F.col("cvec")), 4)))
-    w = Window.partitionBy(key_col).orderBy("dist", "centroid_id")
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(key_col, "centroid_id", "dist"))
+    # struct comparison orders by (dist, centroid_id) — array_min IS
+    # the argmin with the documented tie-break, entirely in-row
+    best = F.array_min(F.transform(
+        _centroid_literal(cents),
+        lambda s: F.struct(
+            F.round(_sqdist(v, s["cvec"]), 4).alias("dist"),
+            s["centroid_id"].alias("centroid_id"))))
+    return df.select(F.col(key_col),
+                     best["centroid_id"].alias("centroid_id"),
+                     best["dist"].alias("dist"))
 
 
 def ivf_train(df: DataFrame, n_centroids: int = 8, dim: int = 64,
@@ -165,18 +174,21 @@ def ivf_topk(df: DataFrame, queries: DataFrame,
                   F.col(vec_col).alias("cvec")),
         F.col(key_col) == F.col("neighbour_id")).drop(key_col, "dist")
 
-    spark = df.sparkSession
-    c = _centroid_df(spark, cents).withColumnRenamed("cvec", "centvec")
     qv = F.col(vec_col).cast("array<double>")
-    wq = Window.partitionBy("query_id").orderBy("qdist", "centroid_id")
+    # nprobe nearest centroids per query, in-row: sort the per-query
+    # (qdist, centroid_id) structs and slice — no window, no shuffle
     probes = (queries.select(F.col(key_col).alias("query_id"),
                              qv.alias("qvec"))
-              .crossJoin(F.broadcast(c))
-              .withColumn("qdist", F.round(_sqdist(F.col("qvec"),
-                                                   F.col("centvec")), 4))
-              .withColumn("prn", F.row_number().over(wq))
-              .filter(F.col("prn") <= nprobe)
-              .select("query_id", "qvec", "centroid_id"))
+              .withColumn("probe", F.explode(F.slice(F.array_sort(
+                  F.transform(
+                      _centroid_literal(cents),
+                      lambda s: F.struct(
+                          F.round(_sqdist(F.col("qvec"), s["cvec"]),
+                                  4).alias("qdist"),
+                          s["centroid_id"].alias("centroid_id")))),
+                  1, nprobe)))
+              .select("query_id", "qvec",
+                      F.col("probe.centroid_id").alias("centroid_id")))
 
     scored = (lists.join(F.broadcast(probes), "centroid_id")
               .filter(F.col("neighbour_id") != F.col("query_id"))

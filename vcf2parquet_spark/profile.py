@@ -92,6 +92,20 @@ def profile_arrow(arr: pa.Array, name: str = "") -> dict:
              or pa.types.is_large_string(arr.type))
                 and arr.nbytes >= INT32_SAFE_BYTES):
             arr = arr.cast(pa.large_string()).combine_chunks()
+        elif ((pa.types.is_list(arr.type)
+               or pa.types.is_large_list(arr.type))
+                and arr.nbytes >= INT32_SAFE_BYTES):
+            # same overflow class one level down: combining chunked
+            # lists concatenates the CHILD arrays, whose int32 offsets
+            # (list and/or string child) overflow past 2 GiB — ride
+            # 64-bit offsets at both levels (the list profile branch
+            # below handles large_list/large_string transparently)
+            child = arr.type.value_type
+            if pa.types.is_string(child) or pa.types.is_large_string(child):
+                child = pa.large_string()
+            elif pa.types.is_binary(child) or pa.types.is_large_binary(child):
+                child = pa.large_binary()
+            arr = arr.cast(pa.large_list(child)).combine_chunks()
         else:
             arr = arr.combine_chunks()
     n = len(arr)
@@ -259,9 +273,15 @@ def profile_df(df, columns: list[str] | None = None):
         else:
             avg_e, max_e = F.avg(src), F.max(src)
             raw_e = F.lit(None).cast("long")
-        aggs += [F.count(src).alias(f"{c}__n"),
-                 F.sum(F.when(src.isNull(), 1).otherwise(0))
-                  .cast("long").alias(f"{c}__nn"),
+        if typ == "string":   # empty/all-null table: 0 bytes, not NULL
+            raw_e = F.coalesce(raw_e, F.lit(0).cast("long"))
+        # n = TOTAL rows including nulls, matching profile_arrow's
+        # convention (n - n_nulls = non-null values in BOTH layers)
+        aggs += [F.count(F.lit(1)).alias(f"{c}__n"),
+                 F.coalesce(
+                     F.sum(F.when(src.isNull(), 1).otherwise(0))
+                      .cast("long"), F.lit(0).cast("long"))
+                  .alias(f"{c}__nn"),
                  F.approx_count_distinct(src).alias(f"{c}__ad"),
                  avg_e.cast("double").alias(f"{c}__avg"),
                  max_e.cast("double").alias(f"{c}__max"),

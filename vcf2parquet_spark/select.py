@@ -7,6 +7,8 @@ Arrow field; here: column stats → codec), with documented thresholds:
 int64:
   all-equal            → for      (frame-of-reference, width 0 = free)
   avg_run >= RLE_RUN   → rle
+  delta_width < for_width → delta (sorted/clustered values: consecutive
+                                   deltas pack narrower than FOR)
   min >= 0 & same width→ bitpack
   else                 → for
 
@@ -17,7 +19,7 @@ string:
   entropy >= HIGH_ENTROPY bits/byte  → plain+<residual> (incompressible
                                        by symbol tables; residual stage —
                                        documented fallback, SURVEY §7)
-  avg_len >= LONG_STRING             → plain+brotli-9 (content: block-
+  mean BYTES/value >= LONG_STRING    → plain+brotli-9 (content: block-
                                        level residual beats FSST on both
                                        axes for long values — default
                                        since round 4; long_strings=
@@ -144,8 +146,14 @@ def choose_codec(stats: dict, residual: str = DEFAULT_RESIDUAL,
             return "dict"
         if stats["entropy"] >= HIGH_ENTROPY:
             return "plain+" + residual
-        if (long_strings == "plain"
-                and stats.get("avg_len", 0.0) >= LONG_STRING):
+        # LONG_STRING is a BYTES threshold: derive mean bytes/value
+        # from raw_bytes, not avg_len (utf8_length counts CODEPOINTS —
+        # CJK/emoji-heavy text averages ~3x more bytes than codepoints
+        # and would be misrouted off the measured long-string path)
+        mean_bytes = (stats["raw_bytes"] / n_vals
+                      if "raw_bytes" in stats
+                      else stats.get("avg_len", 0.0))
+        if long_strings == "plain" and mean_bytes >= LONG_STRING:
             return "plain+" + LONG_RESIDUAL
         return "fsst+" + residual
     raise TypeError(f"unsupported type: {stats['type']}")

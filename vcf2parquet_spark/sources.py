@@ -62,9 +62,20 @@ def _iter_xz_chunks(raw: bytes, fmt: str, chunk_rows: int):
                              na_values=[""], chunksize=chunk_rows)
     with reader:
         for part in reader:
-            for c in CORPUS_COLUMNS:
-                if c not in part.columns:
-                    part[c] = pd.Series(dtype="string", index=part.index)
+            missing = [c for c in CORPUS_COLUMNS if c not in part.columns]
+            if missing and fmt not in ("jsonl", "json"):
+                # a CSV header IS the schema: a corpus column absent
+                # from it is a malformed input, same SchemaError the
+                # parquet path raises — silently encoding an all-null
+                # fabricated column would corrupt the table
+                from vcf2parquet_spark.errors import SchemaError
+                raise SchemaError(
+                    f"csv member missing corpus columns {missing}; "
+                    f"header has {list(part.columns)}")
+            for c in missing:
+                # JSON rows legitimately omit keys (missing key == null
+                # — the same semantics Spark's own json reader applies)
+                part[c] = pd.Series(dtype="string", index=part.index)
             yield part[CORPUS_COLUMNS].astype(object)
 
 
