@@ -758,7 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "flag_defaulting": """
             SELECT doc_id,
                    coalesce(nullif(lang, 'en'), '_default_') AS lang_or_default,
-                   (lang = 'en') AS is_en
+                   coalesce(lang = 'en', FALSE) AS is_en
             FROM documents
         """,
         "token_recode": """
@@ -850,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sig": """
             WITH toks AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS t
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
               FROM documents WHERE doc_id < 100
             ), sh AS (
               SELECT doc_id,
@@ -868,7 +868,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": """
             WITH tok AS (
-              SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+              SELECT doc_id, md5(unnest(string_split_regex(lower(text), '\\s+'))) AS h
               FROM documents WHERE doc_id < 100
             )
             SELECT doc_id, concat(
@@ -900,7 +900,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": """
             WITH toks AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS t
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
               FROM documents WHERE doc_id < 40
             ), sh AS (
               SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
@@ -922,12 +922,12 @@ def oracle_sql() -> dict[str, str]:
                    round(n_common / CAST(n_left + n_right - n_common AS DOUBLE),
                          4) AS jaccard
             FROM inter
-            WHERE n_common / CAST(n_left + n_right - n_common AS DOUBLE)
-                  >= 0.05
+            WHERE round(n_common / CAST(n_left + n_right - n_common AS DOUBLE),
+                        4) >= 0.05
         """,
         "dedup_clusters": """
             WITH RECURSIVE toks AS (
-              SELECT doc_id, string_split(lower(text), ' ') AS t
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
               FROM documents WHERE doc_id < 40
             ), sh AS (
               SELECT DISTINCT doc_id, array_to_string(t[i:i+1], ' ') AS sh
@@ -946,8 +946,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2, 3, 4
             ), pairs AS (
               SELECT left_id, right_id FROM inter
-              WHERE n_common / CAST(n_left + n_right - n_common AS DOUBLE)
-                    >= 0.05
+              WHERE round(n_common / CAST(n_left + n_right - n_common AS DOUBLE),
+                          4) >= 0.05
             ), sym AS (
               SELECT left_id AS u, right_id AS v FROM pairs
               UNION
@@ -1193,7 +1193,14 @@ def _near_dups_sql() -> str:
     within-bucket pairwise cosine >= threshold."""
     buckets = _ann_buckets_sql()
     return f"""
-        WITH b AS ({buckets}), scored AS (
+        WITH b0 AS ({buckets}), hot AS (
+          -- mirror the Spark side's max_bucket=2000 hot-bucket drop
+          -- (dedup.embedding_near_dups), so the two stay aligned on
+          -- any data distribution, not just the current testdata
+          SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) > 2000
+        ), b AS (
+          SELECT * FROM b0 WHERE bucket NOT IN (SELECT bucket FROM hot)
+        ), scored AS (
           SELECT a.vec_id AS id_a, c.vec_id AS id_b,
                  round(list_cosine_similarity(
                    CAST(ea.embedding AS DOUBLE[]),

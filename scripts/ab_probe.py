@@ -18,14 +18,11 @@ def main():
 
     spark = get_spark(cores=32, app_name="ab_probe",
                       extra_conf={"spark.sql.shuffle.partitions": "32"})
-    corpus = f"{WORK}/corpus_200000.parquet"
-    rg = f"{WORK}/corpus_rg_200000.parquet"
-    if not os.path.exists(corpus) or not os.path.exists(rg):
-        from vcf2parquet_spark.corpus import synth_corpus
-        df = synth_corpus(spark, ROWS, seed=42)
-        df.write.mode("overwrite").parquet(corpus)
-        (df.write.mode("overwrite").option("compression", "snappy")
-         .option("parquet.block.size", 2 * 1024 * 1024).parquet(rg))
+    # the ONE materialization recipe lives in bench.py — probes must
+    # measure the exact physical layout the headline benchmark uses
+    from bench import materialize_corpus, materialize_rg_corpus
+    corpus = materialize_corpus(spark, ROWS)
+    rg = materialize_rg_corpus(spark, ROWS)
 
     def t(fn):
         out = f"{WORK}/ab_out"

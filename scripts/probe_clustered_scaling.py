@@ -13,6 +13,9 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 WORK = "/tmp/vp_bench"
 ROWS = int(os.environ.get("ROWS", "1600000"))
 N = int(os.environ.get("N", "2"))
@@ -21,14 +24,10 @@ TARGET = int(os.environ.get("TARGET", "3000"))
 
 
 def materialize_rg(spark, n_rows: int) -> str:
-    path = f"{WORK}/corpus_rg_{n_rows}.parquet"
-    if not os.path.exists(path):
-        from vcf2parquet_spark.corpus import synth_corpus
-        (synth_corpus(spark, n_rows, seed=42).write.mode("overwrite")
-         .option("compression", "snappy")
-         .option("parquet.block.size", 2 * 1024 * 1024)
-         .parquet(path))
-    return path
+    # the ONE materialization recipe lives in bench.py — probes must
+    # measure the exact physical layout the headline benchmark uses
+    from bench import materialize_rg_corpus
+    return materialize_rg_corpus(spark, n_rows)
 
 
 def udf_seconds(out):

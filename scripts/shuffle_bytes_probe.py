@@ -2,7 +2,9 @@
 """Byte-budget evidence for shuffle_payload="packed": run the SAME
 general-path encode twice (raw rows vs packed zstd-1 Arrow-IPC blobs)
 and read the ACTUAL shuffle write volume from Spark's own task metrics
-(REST API) — not an estimate.
+(REST API).  Wire bytes and the raw-side payload are measured exactly;
+the packed-side LOGICAL payload is approximated by its wire bytes (see
+the inline note).
 
 Two distinct byte budgets matter, and the probe reports both:
 
@@ -99,9 +101,13 @@ def main() -> int:
     sh_packed = marks[2] - marks[1]
     # logical (uncompressed) exchange payload: raw mode serializes,
     # sorts and IPCs every row byte (the summed Arrow nbytes of the
-    # reduce-side unit tables); packed mode moves only the blob bytes —
-    # zstd blobs gain nothing from Spark's lz4, so their on-wire size
-    # IS their logical size.
+    # reduce-side unit tables); packed mode moves only the blob bytes.
+    # The packed LOGICAL payload is approximated by its measured
+    # ON-WIRE bytes: already-zstd'd blobs are near-incompressible to
+    # Spark's lz4 frame, so wire ≈ logical to within a few percent —
+    # an approximation for this one term (the raw-side payload and
+    # both wire numbers are exact), conservative in packed's favor
+    # only by that margin.
     pay_raw = jobs["raw"]["raw_bytes"]
     pay_packed = sh_packed
     print(json.dumps({

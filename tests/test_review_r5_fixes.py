@@ -330,6 +330,41 @@ def test_blocks_table_chunks_past_payload_cap(monkeypatch):
     assert enc._blocks_table(small).column("data").num_chunks == 1
 
 
+def test_encode_stream_fresh_checkpoint_never_collides(reg, tmp_path):
+    """A restarted stream with a FRESH (or no) checkpoint replays its
+    source with epoch ids restarting at 0; the run base must move its
+    part ids past everything committed, or encode()'s resume filter
+    silently skips the colliding units (r5 review)."""
+    from vcf2parquet_spark.streaming import encode_stream
+    spark = reg
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "blocks")
+    synth_corpus(spark, 400, seed=91).write.parquet(src)
+
+    q = encode_stream(spark, src, out,
+                      checkpoint=str(tmp_path / "cp1"), target_rows=200)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = set(tbl.committed_parts(out))
+    from vcf2parquet_spark.decode import decode
+    assert decode(spark, out).count() == 400
+
+    # fresh checkpoint on the same table: the source replays everything
+    # (standard Spark semantics); every replayed row must land in NEW
+    # id space — the pre-fix behavior silently skipped colliding units
+    q = encode_stream(spark, src, out,
+                      checkpoint=str(tmp_path / "cp2"), target_rows=200)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    second = set(tbl.committed_parts(out)) - first
+    assert second and min(second) > max(first)
+    assert decode(spark, out).count() == 800   # full replay, no drops
+
+
 def test_fake_resize_handles_trailing_empty_payload():
     import pandas as pd
 

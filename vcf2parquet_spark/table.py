@@ -319,10 +319,21 @@ def expire_snapshots(output: str, keep_last: int = 1,
     manifests = committed_parts(output)
     # never delete committed-but-unsnapshotted partitions: they belong
     # to an in-flight (or crashed, resumable) run.  Exception: a
-    # crashed compaction's pending_rewrite partitions duplicate live
-    # rows and are never adopted — reclaim them.
-    referenced |= {p for p in set(manifests) - ever
-                   if not manifests[p].get("pending_rewrite")}
+    # CRASHED compaction's pending_rewrite partitions duplicate live
+    # rows and are never adopted — reclaim them, but only past the
+    # same grace window as staging (a LIVE compaction's rewrites are
+    # minutes old between its manifest commits and its swap snapshot;
+    # deleting those mid-run would break the swap)
+    cutoff = _time.time() - staging_grace_hours * 3600
+    for p in set(manifests) - ever:
+        if not manifests[p].get("pending_rewrite"):
+            referenced.add(p)
+        else:
+            try:
+                if _os.path.getmtime(manifest_path(output, p)) >= cutoff:
+                    referenced.add(p)
+            except OSError:
+                referenced.add(p)
     removed_parts = [p for p in sorted(manifests) if p not in referenced]
     for p in removed_parts:
         for path in (data_path(output, p), manifest_path(output, p)):
